@@ -1,0 +1,243 @@
+"""Typed configuration for the whole stack.
+
+One config system spanning the three roles the reference splits across
+hard-coded module constants, the ``StreamConfig`` dataclass
+(reference: qwen_realtime.py:39-66), and per-request API params
+(reference: server.py:43-50) — see SURVEY.md §5.6.
+
+All configs are frozen dataclasses so they can be used as static (hashable)
+arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """MMDiT diffusion-transformer architecture (QwenImageTransformer2DModel).
+
+    Defaults mirror the 20B ``Qwen/Qwen-Image-Edit-2509`` transformer invoked
+    by the reference through diffusers (reference: server.py:66-69;
+    SURVEY.md §2.2): 60 double-stream blocks, 24 heads × 128 head-dim
+    (inner dim 3072), packed 16-ch latents → 64-ch tokens (2×2 patches),
+    joint attention with 3584-dim Qwen2.5-VL text stream, 3D RoPE with
+    axes (frame, height, width) = (16, 56, 56).
+    """
+
+    num_layers: int = 60
+    num_heads: int = 24
+    head_dim: int = 128
+    in_channels: int = 64  # 16 latent channels × 2×2 patch packing
+    out_channels: int = 64
+    joint_dim: int = 3584  # Qwen2.5-VL hidden size feeding the text stream
+    mlp_ratio: float = 4.0
+    patch_size: int = 2
+    latent_channels: int = 16
+    axes_dims_rope: Tuple[int, int, int] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    time_freq_dim: int = 256
+    eps: float = 1e-6
+    dtype: str = "bfloat16"
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.inner_dim * self.mlp_ratio)
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """KL image VAE (AutoencoderKLQwenImage — Wan2.1-style, 16 latent ch,
+    8× spatial downsample; reference invokes it via ``pipeline.vae.encode /
+    .decode`` at qwen_realtime.py:183-192).
+
+    The reference VAE is a 3D *causal* video VAE applied to single frames;
+    a causal temporal conv on a single frame reduces exactly to a 2D conv
+    using the final temporal kernel slice, so the TPU build is natively 2D
+    (better XLA conv tiling, no wasted temporal padding math). The torch→JAX
+    converter slices ``weight[:, :, -1]`` accordingly.
+    """
+
+    latent_channels: int = 16
+    base_channels: int = 96
+    channel_multipliers: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    spatial_downsample: int = 8  # 2^(len(channel_multipliers)-1)
+    eps: float = 1e-6
+    dtype: str = "float32"
+    # Per-channel latent normalization (Wan2.1 published constants): the
+    # pipeline uses z_norm = (z - mean) / std in place of a scalar
+    # scaling_factor (reference reads vae.config.scaling_factor at
+    # qwen_realtime.py:184; the Plus pipeline uses latents_mean/std).
+    latents_mean: Tuple[float, ...] = (
+        -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+        0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+    )
+    latents_std: Tuple[float, ...] = (
+        2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+        3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+    )
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """FlowMatchEulerDiscreteScheduler with resolution-dependent exponential
+    timestep shifting (reference keeps the stock scheduler:
+    qwen_realtime.py:128-130; SURVEY.md §2.2)."""
+
+    num_train_timesteps: int = 1000
+    base_image_seq_len: int = 256
+    max_image_seq_len: int = 8192
+    base_shift: float = 0.5
+    max_shift: float = 0.9
+    shift: float = 1.0
+    use_dynamic_shifting: bool = True
+
+
+@dataclass(frozen=True)
+class VLConfig:
+    """Qwen2.5-VL-7B prompt/vision encoder (SURVEY.md §2.2: the pipeline
+    encodes instruction text jointly with the input image[s])."""
+
+    # Language model
+    hidden_size: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    intermediate_size: int = 18944
+    vocab_size: int = 152064
+    rope_theta: float = 1000000.0
+    mrope_sections: Tuple[int, int, int] = (16, 24, 24)
+    rms_eps: float = 1e-6
+    # Vision tower
+    vision_depth: int = 32
+    vision_hidden: int = 1280
+    vision_heads: int = 16
+    vision_intermediate: int = 3420
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    window_size: int = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    vision_out_dim: int = 3584
+    dtype: str = "bfloat16"
+    max_text_len: int = 1024
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Superset of the reference's StreamConfig (qwen_realtime.py:39-66) +
+    the per-request API params (server.py:43-50), CLI/env overridable."""
+
+    # Resolution (output; conditioning images are area-resized, see pipeline)
+    width: int = 1024
+    height: int = 1024
+
+    # Inference
+    num_inference_steps: int = 4
+    guidance_scale: float = 1.0  # embedded guidance; no-op for this model
+    true_cfg_scale: float = 4.0
+    # CFG execution mode:
+    #   "none"       — cond-only (server fast mode, server.py:146-153)
+    #   "batched"    — cond+uncond stacked on the batch axis inside one jit
+    #                  (the reference's documented batched_cfg_pipeline)
+    #   "parallel"   — 2-way shard over the mesh `cfg` axis
+    #                  (the reference's documented parallel_cfg_* family)
+    #   "sequential" — two transformer passes per step (stock diffusers path)
+    cfg_mode: str = "batched"
+
+    # Stateful latent / StreamDiffusion-style temporal consistency
+    noise_strength: float = 0.05
+    keyframe_interval: int = 20
+
+    # Camera / stream loop
+    camera_id: int = 0
+    target_fps: int = 15
+
+    # Model
+    model_preset: str = "qwen-image-edit-2509"
+    dtype: str = "bfloat16"
+    seed: int = 42
+
+    # Optimization flags
+    use_flash_attention: bool = True  # Pallas flash attention (TPU only)
+    use_int8: bool = False  # fused int8 quantize+GEMM+dequant weights
+    fuse_lora: bool = True  # weight-fuse LoRA before jit (vs runtime adapters)
+
+    # Parallelism: mesh axis sizes (cfg × model). model>1 ⇒ tensor parallel.
+    mesh_cfg_axis: int = 1
+    mesh_model_axis: int = 1
+
+    def replace(self, **kw) -> "StreamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class Preset:
+    """A named (transformer, VAE, scheduler, VL) bundle."""
+
+    name: str
+    model: ModelConfig
+    vae: VAEConfig
+    scheduler: SchedulerConfig
+    vl: VLConfig
+
+
+def _mk_presets():
+    full = Preset(
+        name="qwen-image-edit-2509",
+        model=ModelConfig(),
+        vae=VAEConfig(),
+        scheduler=SchedulerConfig(),
+        vl=VLConfig(),
+    )
+    # Single-chip benchmark preset: same architecture family scaled to fit a
+    # 16 GB v5e chip in bf16 (~2B transformer params).
+    bench = Preset(
+        name="bench-2b",
+        model=ModelConfig(num_layers=24, num_heads=12, head_dim=128,
+                          joint_dim=1536),
+        vae=VAEConfig(base_channels=64),
+        scheduler=SchedulerConfig(),
+        vl=VLConfig(hidden_size=1536, num_layers=8, num_heads=12,
+                    num_kv_heads=2, intermediate_size=4096,
+                    vision_depth=8, vision_hidden=640, vision_heads=8,
+                    vision_intermediate=1710, vision_out_dim=1536,
+                    fullatt_block_indexes=(3, 7)),
+    )
+    # Tiny preset for unit tests (CPU, seconds not minutes).
+    tiny = Preset(
+        name="tiny",
+        model=ModelConfig(num_layers=2, num_heads=2, head_dim=32,
+                          joint_dim=48, axes_dims_rope=(8, 12, 12),
+                          time_freq_dim=32),
+        vae=VAEConfig(base_channels=8, channel_multipliers=(1, 2, 2, 2),
+                      num_res_blocks=1),
+        scheduler=SchedulerConfig(),
+        vl=VLConfig(hidden_size=48, num_layers=2, num_heads=4,
+                    num_kv_heads=2, intermediate_size=96, vocab_size=512,
+                    mrope_sections=(2, 5, 5),
+                    vision_depth=2, vision_hidden=32, vision_heads=2,
+                    vision_intermediate=64, vision_out_dim=48,
+                    fullatt_block_indexes=(1,), max_text_len=64),
+    )
+    return {p.name: p for p in (full, bench, tiny)}
+
+
+PRESETS = _mk_presets()
+
+
+def get_preset(name: str) -> Preset:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"Unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None
