@@ -1,0 +1,124 @@
+"""Shared functional building blocks.
+
+Models in this framework are pure functions over explicit parameter pytrees
+(nested dicts of jnp arrays) — the most jit/pjit-friendly representation:
+params shard directly with NamedSharding, donate cleanly, and carry no
+Python object state into traced code.
+
+Conventions:
+- activations NHWC / (batch, seq, dim); weights stored in matmul-ready
+  layout (in_dim, out_dim) so no transposes appear in the hot path.
+- parameter dtype is set at init (bf16 for the transformer — MXU-native);
+  norms/softmax/scheduler math accumulate in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def _uniform_init(key, shape, scale, dtype):
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale).astype(dtype)
+
+
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.bfloat16,
+                bias: bool = True) -> Params:
+    """Kaiming-uniform (torch nn.Linear default) so random-init statistics
+    match what a converted torch checkpoint would look like."""
+    kw, kb = jax.random.split(key)
+    scale = (1.0 / in_dim) ** 0.5
+    p = {"w": _uniform_init(kw, (in_dim, out_dim), scale, dtype)}
+    if bias:
+        p["b"] = _uniform_init(kb, (out_dim,), scale, dtype)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"], preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def rms_norm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(p: Optional[Params], x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """RMSNorm in f32, output cast back to input dtype. p=None → no affine."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Affine-free LayerNorm in f32 (the MMDiT blocks use
+    elementwise_affine=False; modulation supplies scale/shift)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """gelu-approximate (tanh) — the MMDiT MLP activation."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel: int = 3,
+                dtype=jnp.float32) -> Params:
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel * kernel
+    scale = (1.0 / fan_in) ** 0.5
+    return {
+        "w": _uniform_init(kw, (kernel, kernel, in_ch, out_ch), scale, dtype),
+        "b": _uniform_init(kb, (out_ch,), scale, dtype),
+    }
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
+           padding: str | Sequence[Tuple[int, int]] = "SAME") -> jnp.ndarray:
+    """NHWC conv with HWIO weights — XLA's native TPU conv layout."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(y.dtype)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       scale: float = 1000.0) -> jnp.ndarray:
+    """Sinusoidal features: (B,) → (B, dim); cos-first ordering with the
+    ×1000 input scale used by the diffusion timestep projector (flow t in
+    [0,1] arrives pre-multiplied by num_train_timesteps so scale=1 there)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def param_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+
+
+def cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )

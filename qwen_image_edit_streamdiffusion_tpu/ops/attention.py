@@ -1,0 +1,67 @@
+"""Attention dispatch: Pallas flash kernel on TPU, XLA reference elsewhere.
+
+The reference found xformers *incompatible* with the Qwen joint-stream
+transformer (benchmark_optimizations.py:76-81, qwen_realtime.py:124-126) and
+fell back to SDPA. Here the joint text+image stream is the design target of
+the kernel from day one (SURVEY.md §2.3 N8): one fused attention over
+[txt ⊕ img] with optional key-side padding mask.
+
+Layout: (batch, heads, seq, head_dim) throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def reference_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain XLA attention with f32 softmax accumulation.
+
+    q,k,v: (B, H, L, D); kv_mask: (B, Lk) bool, True = attend.
+    """
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = True,
+) -> jnp.ndarray:
+    """Joint-stream attention entry point used by the transformer.
+
+    Routes to the Pallas TPU flash kernel when available (TPU backend,
+    shapes meet the kernel's tiling constraints); otherwise the XLA
+    reference path. Both paths are numerically f32-accumulated.
+    """
+    if use_flash and _on_tpu():
+        from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention
+
+        if flash_attention.supported(q, k, v):
+            return flash_attention.flash_attention(q, k, v, kv_mask=kv_mask)
+    return reference_attention(q, k, v, kv_mask=kv_mask)
