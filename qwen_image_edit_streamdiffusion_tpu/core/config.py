@@ -136,9 +136,14 @@ class StreamConfig:
     """Superset of the reference's StreamConfig (qwen_realtime.py:39-66) +
     the per-request API params (server.py:43-50), CLI/env overridable."""
 
-    # Resolution (output; conditioning images are area-resized, see pipeline)
-    width: int = 1024
-    height: int = 1024
+    # Output resolution. None → reference default: derive from the first
+    # input image's aspect ratio at vae_image_area total pixels.
+    width: Optional[int] = None
+    height: Optional[int] = None
+    # Area targets for condition-image resizing (reference: VL images 384²,
+    # VAE images / default output 1024² — SURVEY.md §2.2). Tests shrink these.
+    vae_image_area: int = 1024 * 1024
+    vl_image_area: int = 384 * 384
 
     # Inference
     num_inference_steps: int = 4

@@ -39,6 +39,15 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.bfloat16,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized leaf (models.quantize swapped it in)
+        from qwen_image_edit_streamdiffusion_tpu.ops.int8 import (
+            QuantizedLinear,
+            int8_linear,
+        )
+
+        return int8_linear(
+            x, QuantizedLinear(w_q=p["w_q"], scale=p["scale"], b=p.get("b"))
+        )
     y = jnp.dot(x, p["w"], preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)

@@ -1,0 +1,70 @@
+"""Weight-only INT8 quantization of the transformer.
+
+TPU-native equivalent of the reference's quantize_transformer.py
+(documented-absent; README.md:136-138 — "nn.Linear → Int8Linear swap,
+~50% memory") and the BitsAndBytes config at benchmark_int8.py:72-76
+(``components_to_quantize=["transformer"]``). Walks the param pytree and
+swaps every block-level linear's ``{"w": ...}`` for
+``{"w_q": int8, "scale": f32}``; ``common.linear`` dispatches on the key,
+so the transformer forward code is unchanged and the swap composes with
+jit, LoRA fusion (fuse first, then quantize), and TP sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, FrozenSet
+
+import jax.numpy as jnp
+
+from qwen_image_edit_streamdiffusion_tpu.ops.int8 import quantize_weight
+
+# Linears worth quantizing: the big block-level matmuls. Embeddings, heads,
+# norms and modulation stay high-precision (modulation feeds scale/shift
+# directly — quantization there visibly hurts 2-step quality for ~3% of
+# params).
+DEFAULT_QUANTIZE = frozenset({
+    "img_q", "img_k", "img_v", "txt_q", "txt_k", "txt_v",
+    "img_out", "txt_out", "fc1", "fc2",
+})
+
+
+def _quantize_leaf_dict(d: dict) -> dict:
+    q = quantize_weight(d["w"])
+    out = {"w_q": q.w_q, "scale": q.scale}
+    if "b" in d:
+        out["b"] = d["b"]
+    return out
+
+
+def quantize_transformer(
+    params: Any, include: FrozenSet[str] = DEFAULT_QUANTIZE
+) -> Any:
+    """Return a new transformer param tree with int8 block linears."""
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if "w" in node and name in include and node["w"].ndim == 2:
+                return _quantize_leaf_dict(node)
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v, name) for v in node)
+        return node
+
+    return {
+        "img_in": params["img_in"],
+        "txt_norm": params["txt_norm"],
+        "txt_in": params["txt_in"],
+        "time_mlp": params["time_mlp"],
+        "blocks": walk(params["blocks"]),
+        "norm_out": params["norm_out"],
+        "proj_out": params["proj_out"],
+    }
+
+
+def quantized_bytes(params: Any) -> int:
+    import jax
+
+    return sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+    )

@@ -1,0 +1,156 @@
+"""Pallas TPU flash attention for the MMDiT joint stream.
+
+Replaces the reference's attention stack (SURVEY.md §2.3 N1/N8: cuDNN SDPA;
+xformers was found incompatible with the Qwen transformer) with a single
+online-softmax kernel designed for this workload:
+
+- joint [txt ⊕ img] sequences of ~4k-9k tokens (1024² → 4096 target +
+  4096 condition + text) — K/V for one (batch, head) fit comfortably in
+  VMEM, so the kernel streams q blocks over the full K/V with a fori_loop
+  over k blocks (no HBM re-reads of Q, single pass over K/V),
+- optional key-side padding mask (bucketed text lengths never retrace),
+- bf16 in / f32 online-softmax accumulators / input-dtype out.
+
+Numerics: exact attention (not approximate) — same math as the XLA
+reference path, verified bit-close in tests via interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k):
+    """One (batch·head, q-block) program: online softmax over k blocks.
+
+    q_ref: (1, bq, D); k_ref/v_ref: (1, Lk, D); mask_ref: (1, Lk) int8;
+    o_ref: (1, bq, D).
+    """
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2]
+    lk = k_ref.shape[1]
+    nk = lk // block_k
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
+
+    def body(j, carry):
+        acc, m, l = carry
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, D)
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        mask_blk = mask_ref[0, pl.ds(j * block_k, block_k)]  # (bk,)
+        s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)  # (bq, bk)
+        alpha = jnp.exp(m - m_new)  # (bq, 1)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
+    """Shape gate: head_dim lane-aligned and K/V small enough for VMEM
+    residence per (batch, head) program (~6 MB budget of the ~16 MB/core)."""
+    d = q.shape[-1]
+    if d % 128 != 0:
+        return False
+    lk = k.shape[2]
+    kv_bytes = 2 * lk * d * jnp.dtype(k.dtype).itemsize
+    return kv_bytes <= 6 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q,k,v: (B, H, L, D); kv_mask: (B, Lk) bool (True = attend).
+
+    Returns (B, H, Lq, D) in q's dtype.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+
+    bq = min(block_q, max(128, 1 << (lq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (lk - 1).bit_length()))
+
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, bq)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, bk)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, bk)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, lk), bool)
+    mask = _pad_to(kv_mask.astype(jnp.int8), 1, bk)  # (B, Lk_p)
+
+    grid = (b * h, lq_p // bq)
+    scale = d ** -0.5
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=bk),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p), lambda bh, qi: (bh // h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq_p * lk_p * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * lq_p * lk_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, mask)
+
+    return out[:, :lq].reshape(b, h, lq, d)

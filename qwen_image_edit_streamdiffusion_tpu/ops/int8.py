@@ -1,0 +1,186 @@
+"""INT8 quantized linear path: fused quantize → int8 GEMM → dequantize.
+
+One Pallas kernel family replaces all four of the reference's GPU int8
+surfaces (SURVEY.md §2.3 N4/N5/N6/N9: cuBLAS-Lt via CuPy, Triton fused
+GEMM, torch._int_mm, BitsAndBytes):
+
+- weights: per-output-channel symmetric int8 (absmax), quantized offline;
+- activations: per-(row, k-block) symmetric int8, quantized *inside* the
+  GEMM kernel (no separate pass, no int8 activation tensor in HBM);
+- accumulation int32 on the MXU, dequant to f32 with the two scales fused
+  into the epilogue, output in the activation dtype.
+
+The XLA fallback (``int8_matmul_xla``) keeps CPU/tests runnable and is the
+numerical reference for the kernel test.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QuantizedLinear(NamedTuple):
+    """Per-output-channel int8 weight. w_q: (in, out) int8; scale: (out,) f32;
+    b: optional (out,) bias in compute dtype."""
+
+    w_q: jnp.ndarray
+    scale: jnp.ndarray
+    b: Optional[jnp.ndarray] = None
+
+
+def quantize_weight(w: jnp.ndarray) -> QuantizedLinear:
+    """(in, out) float weight → symmetric per-output-channel int8."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)  # (out,)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return QuantizedLinear(w_q=w_q, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback / reference
+# ---------------------------------------------------------------------------
+
+
+def int8_matmul_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
+    """Row-wise dynamic activation quant + int8 GEMM in plain XLA."""
+    x32 = x.astype(jnp.float32)
+    x_absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(x_absmax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, q.w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_scale * q.scale
+    if q.b is not None:
+        out = out + q.b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _int8_gemm_kernel(x_ref, wq_ref, wscale_ref, o_ref, acc_ref,
+                      *, block_k: int):
+    """Grid (M/bm, N/bn, K/bk). Quantizes the x block in-register, int8
+    MXU matmul, accumulates dequantized f32 into VMEM scratch, writes the
+    epilogue on the last k step.
+
+    x_ref: (bm, bk) activation block (bf16/f32)
+    wq_ref: (bk, bn) int8; wscale_ref: (1, bn) f32
+    o_ref: (bm, bn) out; acc_ref: (bm, bn) f32 scratch
+    """
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    # per-(row, k-block) symmetric activation quantization
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        x_q, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[:] += acc.astype(jnp.float32) * x_scale  # w scale in epilogue
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * wscale_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def int8_matmul_pallas(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: (M, K) float; w_q: (K, N) int8; w_scale: (N,) f32 → (M, N) in
+    x.dtype. Pads every dim to block multiples (zero rows quantize to zero)."""
+    m, k = x.shape
+    n = w_q.shape[1]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    bn = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (k - 1).bit_length()))
+
+    def pad(a, axis, mult):
+        p = (-a.shape[axis]) % mult
+        if p == 0:
+            return a
+        w = [(0, 0)] * a.ndim
+        w[axis] = (0, p)
+        return jnp.pad(a, w)
+
+    xp = pad(pad(x, 0, bm), 1, bk)
+    wp = pad(pad(w_q, 0, bk), 1, bn)
+    sp = pad(w_scale.reshape(1, -1).astype(jnp.float32), 1, bn)
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_int8_gemm_kernel, block_k=bk),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + kp * np_ + mp * np_ * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:m, :n]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def int8_linear(x: jnp.ndarray, q: QuantizedLinear,
+                use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Quantized replacement for ``common.linear``: (..., in) → (..., out)."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if use_pallas:
+        out = int8_matmul_pallas(x2, q.w_q, q.scale)
+        if q.b is not None:
+            out = out + q.b.astype(out.dtype)
+    else:
+        out = int8_matmul_xla(x2, q)
+    return out.reshape(*lead, -1)

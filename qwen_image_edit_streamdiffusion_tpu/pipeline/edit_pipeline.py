@@ -1,0 +1,381 @@
+"""End-to-end image-edit pipeline — the TPU-native QwenImageEditPlusPipeline.
+
+Replaces the upstream pipeline the reference calls at server.py:137-153 /
+webui_realtime.py:77-86 / qwen_realtime.py:247-255 (hot path documented in
+SURVEY.md §3.2):
+
+  preprocess → VL prompt encode → VAE-encode condition image(s) →
+  flow-matching denoise loop (``lax.fori_loop`` inside ONE jit) → VAE decode
+
+TPU-first structure:
+- The entire denoise loop is a single compiled graph per
+  (batch, resolution, text-bucket, steps, cfg_mode) key — persistent
+  compiled graphs replace torch.compile (SURVEY.md §2.3 N3); warmup = AOT
+  compile, later calls replay with zero Python in the loop.
+- Three CFG execution modes from day one (SURVEY.md §2.4): "none"
+  (cond-only fast path), "batched" (cond+uncond stacked on the batch axis —
+  the reference's documented batched_cfg_pipeline, ~1.5-1.7×), and
+  "sequential" (two passes/step, stock-diffusers semantics). A fourth,
+  "parallel" (2-way shard over the mesh `cfg` axis = parallel_cfg_*), lives
+  in parallel/cfg_parallel.py.
+- Guided velocity uses the upstream norm-rescaling rule:
+  comb ← (neg + s·(pos−neg)) · ‖pos‖/‖comb‖, computed in f32.
+
+Call signature parity (reference server.py:137-153): ``image=[PIL...],
+prompt, negative_prompt, num_inference_steps, guidance_scale (embedded-
+guidance no-op for this model family), true_cfg_scale, seed`` → result with
+``.images: List[PIL]``.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import (
+    Preset,
+    StreamConfig,
+    get_preset,
+)
+from qwen_image_edit_streamdiffusion_tpu.core.rng import key_from_seed, stream
+from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
+from qwen_image_edit_streamdiffusion_tpu.models import vae as vae_mod
+from qwen_image_edit_streamdiffusion_tpu.models import scheduler as sched
+from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
+    PromptEncoder,
+    StubEncoder,
+)
+
+
+
+def combine_cfg(pos: jnp.ndarray, neg: jnp.ndarray, scale) -> jnp.ndarray:
+    """True-CFG combine with cond-norm rescaling (upstream rule), in f32."""
+    pos32 = pos.astype(jnp.float32)
+    neg32 = neg.astype(jnp.float32)
+    comb = neg32 + scale * (pos32 - neg32)
+    cond_norm = jnp.linalg.norm(pos32, axis=-1, keepdims=True)
+    comb_norm = jnp.linalg.norm(comb, axis=-1, keepdims=True)
+    comb = comb * (cond_norm / jnp.maximum(comb_norm, 1e-12))
+    return comb.astype(pos.dtype)
+
+
+class EditResult(NamedTuple):
+    images: List[Image.Image]
+    latents: jnp.ndarray  # final normalized latents (B, h, w, z)
+    elapsed: float
+
+
+@dataclass
+class EditPipeline:
+    """Holds params + per-shape-bucket compiled graphs.
+
+    Not itself traced — all jitted functions are pure and hang off an
+    internal cache keyed by static shape info.
+    """
+
+    preset: Preset
+    config: StreamConfig
+    tfm_params: Any
+    vae_params: Any
+    encoder: PromptEncoder
+    mesh: Optional[Any] = None  # jax.sharding.Mesh for TP / parallel CFG
+    _jit_cache: Dict[Any, Any] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        preset: str | Preset = "qwen-image-edit-2509",
+        config: Optional[StreamConfig] = None,
+        seed: int = 0,
+        encoder: Optional[PromptEncoder] = None,
+        mesh=None,
+    ) -> "EditPipeline":
+        """Random-init construction (weights loaded separately via
+        models.convert when a checkpoint is available). With a mesh, the
+        transformer is tensor-parallel-sharded over the `model` axis and
+        cfg_mode="parallel" splits cond/uncond over the `cfg` axis."""
+        if isinstance(preset, str):
+            preset = get_preset(preset)
+        config = config or StreamConfig(model_preset=preset.name)
+        key = key_from_seed(seed)
+        tfm_params = tfm.init(stream(key, "transformer"), preset.model)
+        vae_params = vae_mod.init(stream(key, "vae"), preset.vae)
+        if mesh is not None:
+            from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+            tfm_params = sharding.shard_transformer_params(tfm_params, mesh)
+            vae_params = sharding.replicate(vae_params, mesh)
+        if encoder is None:
+            encoder = StubEncoder.from_config(preset.vl)
+        return cls(preset=preset, config=config, tfm_params=tfm_params,
+                   vae_params=vae_params, encoder=encoder, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    # Jitted stages (cached per static key)
+    # ------------------------------------------------------------------
+
+    def _vae_encode_fn(self, hw: Tuple[int, int]):
+        key = ("vae_encode", hw)
+        if key not in self._jit_cache:
+            cfg = self.preset.vae
+
+            @jax.jit
+            def run(params, img):
+                return vae_mod.encode(params, cfg, img)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _vae_decode_fn(self, hw: Tuple[int, int]):
+        key = ("vae_decode", hw)
+        if key not in self._jit_cache:
+            cfg = self.preset.vae
+
+            @jax.jit
+            def run(params, z):
+                return vae_mod.decode(params, cfg, z)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _denoise_fn(
+        self,
+        batch: int,
+        img_shapes: Tuple[Tuple[int, int, int], ...],
+        txt_len: int,
+        num_steps: int,
+        cfg_mode: str,
+    ):
+        """Build (or fetch) the compiled denoise loop for a shape bucket."""
+        key = ("denoise", batch, img_shapes, txt_len, num_steps, cfg_mode)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model_cfg = self.preset.model
+        sched_cfg = self.preset.scheduler
+        use_flash = self.config.use_flash_attention
+        f, h0, w0 = img_shapes[0]
+        l_target = f * h0 * w0
+        schedule = sched.make_schedule(num_steps, l_target, sched_cfg)
+        ropes = tfm.make_rope(model_cfg, img_shapes, txt_len)
+
+        def model_call(params, x, cond_tokens, t, txt, mask):
+            inp = jnp.concatenate([x, cond_tokens], axis=1)
+            v = tfm.forward(params, model_cfg, inp, txt, t, ropes,
+                            txt_mask=mask, use_flash=use_flash)
+            return v[:, :l_target]
+
+        mesh = self.mesh
+        if cfg_mode == "parallel":
+            from qwen_image_edit_streamdiffusion_tpu.parallel.sharding import (
+                batch_sharding,
+                has_axis,
+            )
+
+            if not has_axis(mesh, "cfg"):
+                # graceful degrade: parallel CFG without a cfg axis is
+                # exactly batched CFG on one device group
+                cfg_mode = "batched"
+
+        def _constrain_cfg_batch(x):
+            """Pin the doubled (cond, uncond) batch to the `cfg` mesh axis —
+            this is the reference's 2-GPU parallel_cfg_* scheme expressed as
+            a sharding annotation (SURVEY.md §2.4)."""
+            if cfg_mode == "parallel":
+                return jax.lax.with_sharding_constraint(x, batch_sharding(mesh))
+            return x
+
+        def loop(params, x0, cond_tokens, txt, mask, neg_txt, neg_mask,
+                 cfg_scale):
+            sigmas = schedule.sigmas
+            timesteps = schedule.timesteps
+
+            if cfg_mode in ("batched", "parallel"):
+                cond2 = _constrain_cfg_batch(
+                    jnp.concatenate([cond_tokens, cond_tokens], axis=0))
+                txt2 = _constrain_cfg_batch(
+                    jnp.concatenate([txt, neg_txt], axis=0))
+                mask2 = _constrain_cfg_batch(
+                    jnp.concatenate([mask, neg_mask], axis=0))
+
+            def body(i, x):
+                t = jnp.full((x.shape[0],), timesteps[i], jnp.float32)
+                if cfg_mode == "none":
+                    v = model_call(params, x, cond_tokens, t, txt, mask)
+                elif cfg_mode == "sequential":
+                    pos = model_call(params, x, cond_tokens, t, txt, mask)
+                    neg = model_call(params, x, cond_tokens, t, neg_txt, neg_mask)
+                    v = combine_cfg(pos, neg, cfg_scale)
+                elif cfg_mode in ("batched", "parallel"):
+                    x2 = _constrain_cfg_batch(jnp.concatenate([x, x], axis=0))
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    v2 = model_call(params, x2, cond2, t2, txt2, mask2)
+                    pos, neg = jnp.split(v2, 2, axis=0)
+                    v = combine_cfg(pos, neg, cfg_scale)
+                else:
+                    raise ValueError(f"unknown cfg_mode {cfg_mode!r}")
+                return sched.euler_step(x, v, sigmas[i], sigmas[i + 1])
+
+            return jax.lax.fori_loop(0, num_steps, body, x0)
+
+        run = jax.jit(loop, donate_argnums=(1,))
+        self._jit_cache[key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    # Host-side stages
+    # ------------------------------------------------------------------
+
+    def _prepare_images(
+        self,
+        images: Sequence[Image.Image],
+        height: Optional[int],
+        width: Optional[int],
+    ):
+        """Reference sizing rules: output defaults to area-1024² at the
+        first image's aspect; VAE condition images area-1024²; VL condition
+        images area-384² (SURVEY.md §2.2)."""
+        first = images[0]
+        cw, ch = imaging.calculate_dimensions(
+            self.config.vae_image_area, first.size[0] / first.size[1]
+        )
+        out_w = width or self.config.width or cw
+        out_h = height or self.config.height or ch
+        vae_images = []
+        vl_images = []
+        for img in images:
+            vw, vh = imaging.calculate_dimensions(
+                self.config.vae_image_area, img.size[0] / img.size[1]
+            )
+            vae_images.append(imaging.pil_to_array(imaging.resize(img, vw, vh)))
+            lw, lh = imaging.calculate_dimensions(
+                self.config.vl_image_area, img.size[0] / img.size[1]
+            )
+            vl_images.append(
+                np.asarray(imaging.resize(img, lw, lh), dtype=np.uint8)
+            )
+        return out_h, out_w, vae_images, vl_images
+
+    def encode_condition_latents(self, vae_images: List[np.ndarray]):
+        """VAE-encode condition images (posterior mode) → packed tokens +
+        their (1, h/2, w/2) rope shapes."""
+        tokens = []
+        shapes = []
+        for arr in vae_images:
+            x = jnp.asarray(arr, jnp.float32)[None]  # (1, H, W, 3)
+            z = self._vae_encode_fn(x.shape[1:3])(self.vae_params, x)
+            tok = tfm.pack_latents(z.astype(jnp.dtype(self.preset.model.dtype)))
+            tokens.append(tok)
+            shapes.append((1, z.shape[1] // 2, z.shape[2] // 2))
+        return jnp.concatenate(tokens, axis=1), shapes
+
+    # ------------------------------------------------------------------
+    # Main entry
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        image: Sequence[Image.Image] | Image.Image,
+        prompt: str,
+        negative_prompt: Optional[str] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: float = 1.0,  # embedded-guidance; no-op (parity arg)
+        true_cfg_scale: Optional[float] = None,
+        seed: Optional[int] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+    ) -> EditResult:
+        t_start = time.time()
+        images = [image] if isinstance(image, Image.Image) else list(image)
+        steps = num_inference_steps or self.config.num_inference_steps
+        cfg_scale = (true_cfg_scale if true_cfg_scale is not None
+                     else self.config.true_cfg_scale)
+        seed = self.config.seed if seed is None else seed
+
+        # do_true_cfg semantics match the upstream pipeline: a negative
+        # prompt must be given AND the scale must exceed 1.
+        do_cfg = negative_prompt is not None and cfg_scale > 1.0
+        cfg_mode = self.config.cfg_mode if do_cfg else "none"
+
+        out_h, out_w, vae_images, vl_images = self._prepare_images(
+            images, height, width
+        )
+
+        # Prompt conditioning (the VL encoder sees text + images).
+        emb = self.encoder.encode(prompt, vl_images)
+        txt = jnp.asarray(emb.embeds, jnp.dtype(self.preset.model.dtype))[None]
+        mask = jnp.asarray(emb.mask)[None]
+        if do_cfg:
+            neg = self.encoder.encode(negative_prompt, vl_images)
+            neg_txt = jnp.asarray(
+                neg.embeds, jnp.dtype(self.preset.model.dtype)
+            )[None]
+            neg_mask = jnp.asarray(neg.mask)[None]
+        else:
+            neg_txt, neg_mask = txt, mask
+
+        # Condition latents from the input image(s).
+        cond_tokens, cond_shapes = self.encode_condition_latents(vae_images)
+
+        # Initial noise for the target image (seeded — reference pins 42).
+        zh, zw = out_h // 8, out_w // 8
+        model_dtype = jnp.dtype(self.preset.model.dtype)
+        noise = jax.random.normal(
+            stream(key_from_seed(seed), "latents"),
+            (1, zh, zw, self.preset.vae.latent_channels),
+            jnp.float32,
+        )
+        x0 = tfm.pack_latents(noise).astype(model_dtype)
+
+        img_shapes = tuple([(1, zh // 2, zw // 2)] + cond_shapes)
+        run = self._denoise_fn(
+            batch=1,
+            img_shapes=img_shapes,
+            txt_len=txt.shape[1],
+            num_steps=steps,
+            cfg_mode=cfg_mode,
+        )
+        final_tokens = run(
+            self.tfm_params, x0, cond_tokens, txt, mask, neg_txt, neg_mask,
+            jnp.float32(cfg_scale),
+        )
+
+        latents = tfm.unpack_latents(
+            final_tokens.astype(jnp.float32), zh, zw
+        )
+        pixels = self._vae_decode_fn((zh, zw))(self.vae_params, latents)
+        pixels = jax.block_until_ready(pixels)
+        out_images = [
+            imaging.array_to_pil(np.asarray(pixels[i]))
+            for i in range(pixels.shape[0])
+        ]
+        return EditResult(
+            images=out_images, latents=latents, elapsed=time.time() - t_start
+        )
+
+    # ------------------------------------------------------------------
+
+    def warmup(self, height: Optional[int] = None, width: Optional[int] = None,
+               steps: Optional[int] = None, runs: int = 1) -> float:
+        """AOT-compile the standard bucket (reference warms up with a gray
+        512² image, server.py:83-95)."""
+        h = height or self.config.height or 512
+        w = width or self.config.width or 512
+        dummy = imaging.make_test_image(w, h, "gray")
+        t0 = time.time()
+        for _ in range(max(1, runs)):
+            self(dummy, "test", num_inference_steps=steps
+                 or self.config.num_inference_steps)
+        return time.time() - t0

@@ -1,0 +1,109 @@
+"""INT8 quantized linear: weight quant error bounds, Pallas kernel vs XLA
+reference (interpret mode), transformer param-tree swap, memory halving."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.models import common, quantize
+from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
+from qwen_image_edit_streamdiffusion_tpu.ops import int8 as int8_ops
+
+
+def test_quantize_weight_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 128)) * 0.02
+    q = int8_ops.quantize_weight(w)
+    assert q.w_q.dtype == jnp.int8
+    deq = np.asarray(q.w_q, np.float32) * np.asarray(q.scale)
+    err = np.abs(deq - np.asarray(w)).max()
+    assert err <= np.abs(np.asarray(w)).max() / 127.0 + 1e-7
+
+
+def test_xla_int8_matmul_close_to_fp():
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 256))
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 128)) * 0.05
+    q = int8_ops.quantize_weight(w)
+    ref = np.asarray(x @ w)
+    out = np.asarray(int8_ops.int8_matmul_xla(x, q))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.02, f"relative error {rel}"
+
+
+@pytest.mark.parametrize("m,k,n", [(128, 256, 128), (100, 300, 200)])
+def test_pallas_kernel_matches_xla(m, k, n):
+    x = jax.random.normal(jax.random.PRNGKey(3), (m, k))
+    w = jax.random.normal(jax.random.PRNGKey(4), (k, n)) * 0.05
+    q = int8_ops.quantize_weight(w)
+    ref = np.asarray(x @ w)
+    out = np.asarray(
+        int8_ops.int8_matmul_pallas(
+            x, q.w_q, q.scale, block_m=64, block_n=128, block_k=128,
+            interpret=True,
+        )
+    )
+    # kernel uses per-(row, k-block) activation scales — finer than the XLA
+    # row-wise reference, so compare against the exact fp product
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.02, f"relative error {rel}"
+
+
+def test_common_linear_dispatches_on_quantized(tiny_preset):
+    p = common.linear_init(jax.random.PRNGKey(5), 64, 32, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 64))
+    ref = np.asarray(common.linear(p, x))
+    qp = quantize._quantize_leaf_dict(p)
+    out = np.asarray(common.linear(qp, x))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.05
+
+
+def test_quantize_transformer_tree_and_memory(tiny_preset):
+    cfg = tiny_preset.model
+    params = tfm.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize.quantize_transformer(params)
+    blk = qparams["blocks"][0]
+    assert "w_q" in blk["attn"]["img_q"]
+    assert "w" in blk["img_mod"]  # modulation not quantized
+    assert "w" in qparams["proj_out"]  # head untouched
+    # bf16 → int8 on the block linears roughly halves their bytes
+    orig = quantize.quantized_bytes(params)
+    new = quantize.quantized_bytes(qparams)
+    assert new < 0.75 * orig
+
+
+def test_quantized_forward_runs_and_close(tiny_preset):
+    cfg = tiny_preset.model
+    params = tfm.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize.quantize_transformer(params)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.joint_dim))
+    ropes = tfm.make_rope(cfg, [(1, 4, 4)], 8)
+    t = jnp.full((1,), 500.0)
+    ref = np.asarray(
+        tfm.forward(params, cfg, img, txt, t, ropes, use_flash=False),
+        np.float32,
+    )
+    out = np.asarray(
+        tfm.forward(qparams, cfg, img, txt, t, ropes, use_flash=False),
+        np.float32,
+    )
+    assert np.isfinite(out).all()
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.25, f"relative error {rel}"  # random weights are a
+    # worst case for int8; real checkpoints land far tighter
+
+
+def test_quantized_sharding_specs(tiny_preset):
+    from jax.sharding import PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+    cfg = tiny_preset.model
+    params = quantize.quantize_transformer(tfm.init(jax.random.PRNGKey(0), cfg))
+    specs = sharding.transformer_param_specs(params)
+    blk = specs["blocks"][0]
+    assert blk["attn"]["img_q"]["w_q"] == P(None, "model")
+    assert blk["attn"]["img_q"]["scale"] == P("model")
+    assert blk["img_mlp"]["fc2"]["w_q"] == P("model", None)
+    assert blk["img_mlp"]["fc2"]["scale"] == P()

@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests on the tiny preset (CPU-fast shapes)."""
+
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+    EditPipeline,
+    combine_cfg,
+)
+
+TINY_STREAM = StreamConfig(
+    width=64,
+    height=64,
+    vae_image_area=64 * 64,
+    vl_image_area=32 * 32,
+    num_inference_steps=2,
+    model_preset="tiny",
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+
+
+@pytest.fixture(scope="module")
+def test_img():
+    return imaging.make_test_image(64, 64, "circle")
+
+
+def test_basic_edit(pipe, test_img):
+    res = pipe(test_img, "make it an oil painting", num_inference_steps=2)
+    assert len(res.images) == 1
+    assert res.images[0].size == (64, 64)
+    arr = np.asarray(res.images[0])
+    assert np.isfinite(arr).all()
+    assert res.elapsed > 0
+
+
+def test_seed_determinism(pipe, test_img):
+    a = pipe(test_img, "stylize", seed=42)
+    b = pipe(test_img, "stylize", seed=42)
+    c = pipe(test_img, "stylize", seed=7)
+    np.testing.assert_array_equal(np.asarray(a.images[0]), np.asarray(b.images[0]))
+    assert np.abs(
+        np.asarray(c.images[0], np.int16) - np.asarray(a.images[0], np.int16)
+    ).max() > 0
+
+
+def test_prompt_changes_output(pipe, test_img):
+    a = pipe(test_img, "oil painting", seed=42)
+    b = pipe(test_img, "cyberpunk neon city", seed=42)
+    assert np.abs(
+        np.asarray(a.images[0], np.int16) - np.asarray(b.images[0], np.int16)
+    ).max() > 0
+
+
+def test_cfg_batched_matches_sequential(test_img):
+    a = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="batched"), seed=0
+    )
+    b = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="sequential"), seed=0
+    )
+    ra = a(test_img, "stylize", negative_prompt="blurry", seed=42)
+    rb = b(test_img, "stylize", negative_prompt="blurry", seed=42)
+    # identical math, different batching — allow tiny numeric drift
+    np.testing.assert_allclose(
+        np.asarray(ra.latents, np.float32),
+        np.asarray(rb.latents, np.float32),
+        atol=1e-3, rtol=1e-2,
+    )
+
+
+def test_no_negative_prompt_skips_cfg(pipe, test_img):
+    # matches upstream do_true_cfg semantics: no negative prompt → cond-only
+    res = pipe(test_img, "stylize", seed=42)
+    res2 = pipe(test_img, "stylize", true_cfg_scale=1.0,
+                negative_prompt="bad", seed=42)
+    np.testing.assert_array_equal(
+        np.asarray(res.images[0]), np.asarray(res2.images[0])
+    )
+
+
+def test_cfg_changes_output(pipe, test_img):
+    plain = pipe(test_img, "stylize", seed=42)
+    cfg = pipe(test_img, "stylize", negative_prompt="blurry",
+               true_cfg_scale=4.0, seed=42)
+    assert np.abs(
+        np.asarray(plain.images[0], np.int16) - np.asarray(cfg.images[0], np.int16)
+    ).max() > 0
+
+
+def test_jit_cache_reuse(pipe, test_img):
+    n0 = len(pipe._jit_cache)
+    pipe(test_img, "another prompt entirely", seed=3)
+    assert len(pipe._jit_cache) == n0  # same shape bucket → no new graphs
+
+
+def test_combine_cfg_scale_one_is_identity():
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 4)), jnp.float32)
+    neg = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 4)), jnp.float32)
+    out = combine_cfg(pos, neg, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pos), atol=1e-5)
+
+
+def test_non_square_default_output():
+    # No explicit size → area-based default at the input aspect ratio.
+    cfg = TINY_STREAM.replace(width=None, height=None, vae_image_area=64 * 64)
+    p = EditPipeline.create("tiny", config=cfg, seed=0)
+    img = imaging.make_test_image(128, 64, "gradient")  # 2:1 aspect
+    res = p(img, "x", num_inference_steps=1)
+    w, h = res.images[0].size
+    assert w % 16 == 0 and h % 16 == 0
+    assert w > h  # aspect preserved

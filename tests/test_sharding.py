@@ -1,0 +1,96 @@
+"""Tensor-parallel + CFG-parallel correctness on the 8-virtual-device CPU
+mesh: sharded forward must match the single-device forward bitwise-closely,
+and params must actually be distributed."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qwen_image_edit_streamdiffusion_tpu.core import meshes
+from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
+from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+
+@pytest.fixture(scope="module")
+def tiny(tiny_preset):
+    cfg = tiny_preset.model
+    params = tfm.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _forward(cfg, params, batch=1):
+    img = jax.random.normal(jax.random.PRNGKey(1), (batch, 16, cfg.in_channels))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (batch, 8, cfg.joint_dim))
+    ropes = tfm.make_rope(cfg, [(1, 4, 4)], 8)
+    t = jnp.full((batch,), 500.0)
+    return img, txt, t, ropes
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_param_specs_structure(tiny):
+    cfg, params = tiny
+    specs = sharding.transformer_param_specs(params)
+    blk = specs["blocks"][0]
+    assert blk["attn"]["img_q"]["w"] == P(None, "model")
+    assert blk["attn"]["img_out"]["w"] == P("model", None)
+    assert blk["img_mlp"]["fc1"]["w"] == P(None, "model")
+    assert blk["img_mlp"]["fc2"]["w"] == P("model", None)
+    assert blk["img_mod"]["w"] == P(None, "model")
+    assert specs["img_in"]["w"] == P()
+    assert specs["proj_out"]["w"] == P()
+
+
+def test_tp_forward_matches_single_device(tiny):
+    cfg, params = tiny
+    img, txt, t, ropes = _forward(cfg, params)
+    ref = tfm.forward(params, cfg, img, txt, t, ropes, use_flash=False)
+
+    mesh = meshes.make_mesh(cfg_axis=1, model_axis=8)
+    sharded = sharding.shard_transformer_params(params, mesh)
+    # params actually distributed: a column-parallel weight has per-device
+    # shards smaller than the full array
+    w = sharded["blocks"][0]["attn"]["img_q"]["w"]
+    assert len(w.sharding.device_set) == 8
+    shard_shape = w.sharding.shard_shape(w.shape)
+    assert shard_shape[1] == w.shape[1] // 8
+
+    f = jax.jit(lambda p, i, x, tt: tfm.forward(p, cfg, i, x, tt, ropes,
+                                                use_flash=False))
+    with jax.set_mesh(mesh):
+        out = f(sharded, img, txt, t)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        atol=1e-4, rtol=1e-3,
+    )
+
+
+def test_cfg_axis_batch_shard(tiny):
+    cfg, params = tiny
+    mesh = meshes.make_mesh(cfg_axis=2, model_axis=4)
+    img, txt, t, ropes = _forward(cfg, params, batch=2)
+    ref = tfm.forward(params, cfg, img, txt, t, ropes, use_flash=False)
+
+    sharded = sharding.shard_transformer_params(params, mesh)
+    bs = sharding.batch_sharding(mesh)
+    img_s = jax.device_put(img, bs)
+    txt_s = jax.device_put(txt, bs)
+    f = jax.jit(lambda p, i, x, tt: tfm.forward(p, cfg, i, x, tt, ropes,
+                                                use_flash=False))
+    with jax.set_mesh(mesh):
+        out = f(sharded, img_s, txt_s, t)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        atol=1e-4, rtol=1e-3,
+    )
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        meshes.make_mesh(cfg_axis=3)  # 8 % 3 != 0
+    m = meshes.make_mesh(2)
+    assert m.shape == {"cfg": 2, "model": 4}
