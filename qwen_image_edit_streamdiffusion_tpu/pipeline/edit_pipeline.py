@@ -87,6 +87,8 @@ class EditPipeline:
     vae_params: Any
     encoder: PromptEncoder
     mesh: Optional[Any] = None  # jax.sharding.Mesh for TP / parallel CFG
+    prompt_cache: Optional[Any] = None  # pipeline.cache.PromptCache
+    latent_cache: Optional[Any] = None  # pipeline.cache.LatentCache
     _jit_cache: Dict[Any, Any] = field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -119,8 +121,15 @@ class EditPipeline:
             vae_params = sharding.replicate(vae_params, mesh)
         if encoder is None:
             encoder = StubEncoder.from_config(preset.vl)
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
+            LatentCache,
+            PromptCache,
+        )
+
         return cls(preset=preset, config=config, tfm_params=tfm_params,
-                   vae_params=vae_params, encoder=encoder, mesh=mesh)
+                   vae_params=vae_params, encoder=encoder, mesh=mesh,
+                   prompt_cache=PromptCache(encoder),
+                   latent_cache=LatentCache())
 
     # ------------------------------------------------------------------
     # Jitted stages (cached per static key)
@@ -157,9 +166,16 @@ class EditPipeline:
         txt_len: int,
         num_steps: int,
         cfg_mode: str,
+        start_step: int = 0,
     ):
-        """Build (or fetch) the compiled denoise loop for a shape bucket."""
-        key = ("denoise", batch, img_shapes, txt_len, num_steps, cfg_mode)
+        """Build (or fetch) the compiled denoise loop for a shape bucket.
+
+        start_step > 0 runs only the tail of the schedule — the stream
+        pipeline's partial re-denoise of a cached temporal latent
+        (reference's intended prepare_latent semantics,
+        qwen_realtime.py:201-224)."""
+        key = ("denoise", batch, img_shapes, txt_len, num_steps, cfg_mode,
+               start_step)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -228,7 +244,7 @@ class EditPipeline:
                     raise ValueError(f"unknown cfg_mode {cfg_mode!r}")
                 return sched.euler_step(x, v, sigmas[i], sigmas[i + 1])
 
-            return jax.lax.fori_loop(0, num_steps, body, x0)
+            return jax.lax.fori_loop(start_step, num_steps, body, x0)
 
         run = jax.jit(loop, donate_argnums=(1,))
         self._jit_cache[key] = run
@@ -313,12 +329,15 @@ class EditPipeline:
             images, height, width
         )
 
-        # Prompt conditioning (the VL encoder sees text + images).
-        emb = self.encoder.encode(prompt, vl_images)
+        # Prompt conditioning (the VL encoder sees text + images). Cached on
+        # (prompt, image-hash) — cached_pipeline_v2 semantics (SURVEY.md §0.1).
+        encode_prompt = (self.prompt_cache.encode if self.prompt_cache
+                         else self.encoder.encode)
+        emb = encode_prompt(prompt, vl_images)
         txt = jnp.asarray(emb.embeds, jnp.dtype(self.preset.model.dtype))[None]
         mask = jnp.asarray(emb.mask)[None]
         if do_cfg:
-            neg = self.encoder.encode(negative_prompt, vl_images)
+            neg = encode_prompt(negative_prompt, vl_images)
             neg_txt = jnp.asarray(
                 neg.embeds, jnp.dtype(self.preset.model.dtype)
             )[None]
@@ -326,8 +345,13 @@ class EditPipeline:
         else:
             neg_txt, neg_mask = txt, mask
 
-        # Condition latents from the input image(s).
-        cond_tokens, cond_shapes = self.encode_condition_latents(vae_images)
+        # Condition latents from the input image(s), cached on content hash.
+        if self.latent_cache is not None:
+            cond_tokens, cond_shapes = self.latent_cache.get_or_encode(
+                vae_images, self.encode_condition_latents
+            )
+        else:
+            cond_tokens, cond_shapes = self.encode_condition_latents(vae_images)
 
         # Initial noise for the target image (seeded — reference pins 42).
         zh, zw = out_h // 8, out_w // 8

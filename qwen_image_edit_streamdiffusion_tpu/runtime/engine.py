@@ -1,0 +1,143 @@
+"""Inference engine: request processing, single-flight concurrency, stats.
+
+Parity surface (SURVEY.md §2.4 / §5.2): the reference serializes GPU work
+with a 1-worker ThreadPoolExecutor plus an *unsynchronized* ``is_processing``
+check-then-act (server.py:39-40, 190-194) — a benign TOCTOU race. Here the
+busy check and the claim are one atomic ``Lock.acquire(blocking=False)``.
+
+Request/response semantics match ``process_image_sync`` + ``edit_image``
+(server.py:123-231): optional ref-image compositing via blend, input
+resized to 512², seed 42, use_cfg toggling negative-prompt CFG, base64 JPEG
+in/out, elapsed seconds reported.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+
+
+class EngineBusy(Exception):
+    """Another request holds the accelerator (HTTP 429)."""
+
+
+class ModelNotLoaded(Exception):
+    """Pipeline not constructed yet (HTTP 503)."""
+
+
+@dataclass
+class InferenceEngine:
+    pipeline: Optional[Any] = None  # EditPipeline
+    input_size: int = 512  # reference resizes inputs to 512² (server.py:132)
+    default_steps: int = 2
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    total_requests: int = 0
+    last_elapsed: Optional[float] = None
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        preset: str = "qwen-image-edit-2509",
+        config: Optional[StreamConfig] = None,
+        seed: int = 0,
+        warmup_runs: int = 1,
+        **kw,
+    ) -> "InferenceEngine":
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+            EditPipeline,
+        )
+
+        pipe = EditPipeline.create(preset, config=config, seed=seed, **kw)
+        eng = cls(pipeline=pipe,
+                  default_steps=pipe.config.num_inference_steps)
+        if warmup_runs:
+            eng.warmup(runs=warmup_runs)
+        return eng
+
+    def warmup(self, runs: int = 1) -> None:
+        """AOT-compile the serving bucket (reference server.py:83-95)."""
+        if self.pipeline is None:
+            raise ModelNotLoaded("no pipeline")
+        self.pipeline.warmup(steps=self.default_steps, runs=runs)
+
+    # ------------------------------------------------------------------
+
+    def edit(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """Process one EditRequest dict → EditResponse dict.
+
+        Fields (reference server.py:43-55): image (b64), prompt, steps,
+        ref_image (optional b64), blend_ratio, use_cfg.
+        """
+        if self.pipeline is None:
+            raise ModelNotLoaded("Model not loaded")
+        if not self._lock.acquire(blocking=False):
+            raise EngineBusy("Server is busy processing another request")
+        try:
+            start = time.time()
+            img = imaging.base64_to_pil(request["image"])
+            prompt = request.get("prompt", "Transform into oil painting style")
+            steps = int(request.get("steps", self.default_steps))
+            use_cfg = bool(request.get("use_cfg", False))
+
+            ref_b64 = request.get("ref_image")
+            if ref_b64:
+                ref = imaging.base64_to_pil(ref_b64)
+                s = self.input_size
+                img = imaging.blend(
+                    imaging.resize(img, s, s),
+                    imaging.resize(ref, s, s),
+                    float(request.get("blend_ratio", 0.5)),
+                )
+
+            img = imaging.resize(img, self.input_size, self.input_size)
+
+            # CFG convention parity (server.py:135-153): use_cfg passes an
+            # empty negative prompt (engaging true CFG); fast mode is
+            # cond-only.
+            result = self.pipeline(
+                img,
+                prompt,
+                negative_prompt="" if use_cfg else None,
+                num_inference_steps=steps,
+                seed=42,
+            )
+            elapsed = time.time() - start
+            self.total_requests += 1
+            self.last_elapsed = elapsed
+            return {
+                "image": imaging.pil_to_base64(result.images[0]),
+                "elapsed": elapsed,
+                "status": "success",
+            }
+        finally:
+            self._lock.release()
+
+    # ------------------------------------------------------------------
+
+    def health(self) -> Dict[str, Any]:
+        mem = "N/A"
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_in_use" in stats:
+                mem = f"{stats['bytes_in_use'] / 1e9:.2f} GB"
+        except Exception:
+            pass
+        return {
+            "status": "ok",
+            "model_loaded": self.pipeline is not None,
+            "optimized": f"jit+flash-attn ({self.default_steps}-step)",
+            "inference_time": (
+                f"{self.last_elapsed:.2f}s" if self.last_elapsed else "n/a"
+            ),
+            "gpu_memory": mem,
+            "requests": self.total_requests,
+        }

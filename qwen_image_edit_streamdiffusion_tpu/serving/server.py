@@ -1,0 +1,207 @@
+"""HTTP JSON API — wire-compatible with the reference's FastAPI server.
+
+Endpoints, request/response shapes, status codes and CORS behavior match
+server.py (reference: `/` 163-169, `/health` 172-180, `/edit` 183-231;
+EditRequest 43-50 / EditResponse 52-55; CORS 29-35; port 8086 at 238), so
+the reference's React frontend (frontend/src/App.js) works against this
+server unchanged.
+
+Built on the stdlib ``http.server`` (this image has no fastapi/uvicorn; a
+FastAPI app factory is provided for environments that do — see
+``create_fastapi_app``). A browser UI is served at ``/ui`` (serving/webui.py)
+covering the reference's Gradio role when gradio is absent.
+
+Error mapping parity: 503 model-not-loaded, 429 busy, 500 wrapped exception
+detail (SURVEY.md §5.3).
+
+Run: ``python -m qwen_image_edit_streamdiffusion_tpu.serving.server
+      [--port 8086] [--preset ...]``; env QIE_PRESET / QIE_STEPS / QIE_SIZE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+    EngineBusy,
+    InferenceEngine,
+    ModelNotLoaded,
+)
+
+SERVER_NAME = "Qwen-Image-Edit-2509 API (TPU)"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: Optional[InferenceEngine] = None  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    # --- helpers -------------------------------------------------------
+
+    def _send(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        # CORS parity (reference server.py:29-35: allow all)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "*")
+        self.send_header("Access-Control-Allow-Headers", "*")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_html(self, code: int, html: str) -> None:
+        body = html.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.environ.get("QIE_HTTP_LOG"):
+            super().log_message(fmt, *args)
+
+    # --- routes --------------------------------------------------------
+
+    def do_OPTIONS(self):  # CORS preflight
+        self._send(200, {})
+
+    def do_GET(self):
+        if self.path == "/":
+            self._send(200, {
+                "name": SERVER_NAME,
+                "endpoints": ["/health", "/edit"],
+                "status": "running",
+            })
+        elif self.path == "/health":
+            self._send(200, self.engine.health())
+        elif self.path in ("/ui", "/ui/"):
+            from qwen_image_edit_streamdiffusion_tpu.serving.webui import (
+                INDEX_HTML,
+            )
+
+            self._send_html(200, INDEX_HTML)
+        else:
+            self._send(404, {"detail": "Not Found"})
+
+    def do_POST(self):
+        if self.path != "/edit":
+            self._send(404, {"detail": "Not Found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            request = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send(422, {"detail": f"invalid JSON body: {e}"})
+            return
+        if "image" not in request:
+            self._send(422, {"detail": "field 'image' is required"})
+            return
+        try:
+            self._send(200, self.engine.edit(request))
+        except ModelNotLoaded as e:
+            self._send(503, {"detail": str(e)})
+        except EngineBusy as e:
+            self._send(429, {"detail": str(e)})
+        except Exception as e:  # parity: wrapped 500 (server.py:226-227)
+            self._send(500, {"detail": str(e)})
+
+
+def make_server(engine: InferenceEngine, host: str = "0.0.0.0",
+                port: int = 8086) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def create_fastapi_app(engine: InferenceEngine):
+    """Optional FastAPI app with the same routes, for deployments that have
+    fastapi/uvicorn installed (exact parity with reference server.py)."""
+    from fastapi import FastAPI, HTTPException
+    from fastapi.middleware.cors import CORSMiddleware
+    from pydantic import BaseModel
+
+    app = FastAPI(title=SERVER_NAME)
+    app.add_middleware(
+        CORSMiddleware, allow_origins=["*"], allow_credentials=True,
+        allow_methods=["*"], allow_headers=["*"],
+    )
+
+    class EditRequest(BaseModel):
+        image: str
+        prompt: str = "Transform into oil painting style"
+        steps: int = 2
+        ref_image: str | None = None
+        blend_ratio: float = 0.5
+        use_cfg: bool = False
+
+    class EditResponse(BaseModel):
+        image: str
+        elapsed: float
+        status: str
+
+    @app.get("/")
+    async def root():
+        return {"name": SERVER_NAME, "endpoints": ["/health", "/edit"],
+                "status": "running"}
+
+    @app.get("/health")
+    async def health():
+        return engine.health()
+
+    @app.post("/edit", response_model=EditResponse)
+    async def edit_image(request: EditRequest):
+        import asyncio
+
+        loop = asyncio.get_event_loop()
+        try:
+            return await loop.run_in_executor(
+                None, engine.edit, request.model_dump()
+            )
+        except ModelNotLoaded as e:
+            raise HTTPException(status_code=503, detail=str(e))
+        except EngineBusy as e:
+            raise HTTPException(status_code=429, detail=str(e))
+        except Exception as e:
+            raise HTTPException(status_code=500, detail=str(e))
+
+    return app
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=SERVER_NAME)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8086)
+    ap.add_argument("--preset",
+                    default=os.environ.get("QIE_PRESET",
+                                           "qwen-image-edit-2509"))
+    ap.add_argument("--steps", type=int,
+                    default=int(os.environ.get("QIE_STEPS", "2")))
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+
+    size = os.environ.get("QIE_SIZE")
+    config = StreamConfig(
+        num_inference_steps=args.steps,
+        model_preset=args.preset,
+        width=int(size) if size else None,
+        height=int(size) if size else None,
+    )
+    print(f"Loading pipeline ({args.preset})...")
+    engine = InferenceEngine.create(
+        args.preset, config=config,
+        warmup_runs=0 if args.no_warmup else 1,
+    )
+    print(f"Ready. Serving on http://{args.host}:{args.port} "
+          f"(endpoints: / /health /edit; browser UI at /ui)")
+    make_server(engine, args.host, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

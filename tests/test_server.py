@@ -1,0 +1,153 @@
+"""Live HTTP server tests: wire contract parity with the reference server
+(endpoints, field names, status codes 200/404/422/429/500/503)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import EditPipeline
+from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+    EngineBusy,
+    InferenceEngine,
+    ModelNotLoaded,
+)
+from qwen_image_edit_streamdiffusion_tpu.serving.server import make_server
+
+TINY_STREAM = StreamConfig(
+    width=64, height=64,
+    vae_image_area=64 * 64, vl_image_area=32 * 32,
+    num_inference_steps=2,
+    model_preset="tiny",
+)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=2)
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{port}", engine
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_root_endpoint(server_url):
+    url, _ = server_url
+    code, body = _get(url + "/")
+    assert code == 200
+    assert body["status"] == "running"
+    assert "/edit" in body["endpoints"] and "/health" in body["endpoints"]
+
+
+def test_health_endpoint(server_url):
+    url, _ = server_url
+    code, body = _get(url + "/health")
+    assert code == 200
+    assert body["status"] == "ok"
+    assert body["model_loaded"] is True
+    assert "gpu_memory" in body  # wire-compat field name
+
+
+def test_edit_roundtrip(server_url):
+    url, _ = server_url
+    img = imaging.make_test_image(64, 64, "circle")
+    code, body = _post(url + "/edit", {
+        "image": imaging.pil_to_base64(img),
+        "prompt": "oil painting",
+        "steps": 2,
+    })
+    assert code == 200, body
+    assert body["status"] == "success"
+    assert body["elapsed"] > 0
+    out = imaging.base64_to_pil(body["image"])
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_edit_with_composite(server_url):
+    url, _ = server_url
+    a = imaging.pil_to_base64(imaging.make_test_image(64, 64, "circle"))
+    b = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gradient"))
+    code, body = _post(url + "/edit", {
+        "image": a, "ref_image": b, "blend_ratio": 0.5, "prompt": "mix",
+    })
+    assert code == 200, body
+
+
+def test_edit_with_cfg(server_url):
+    url, _ = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    code, body = _post(url + "/edit", {"image": img, "use_cfg": True})
+    assert code == 200, body
+
+
+def test_missing_image_field_422(server_url):
+    url, _ = server_url
+    code, body = _post(url + "/edit", {"prompt": "x"})
+    assert code == 422
+
+
+def test_bad_base64_500(server_url):
+    url, _ = server_url
+    code, body = _post(url + "/edit", {"image": "!!!not-base64!!!"})
+    assert code == 500
+    assert "detail" in body
+
+
+def test_busy_429(server_url):
+    url, engine = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    engine._lock.acquire()
+    try:
+        code, body = _post(url + "/edit", {"image": img})
+        assert code == 429
+        assert "busy" in body["detail"].lower()
+    finally:
+        engine._lock.release()
+
+
+def test_model_not_loaded_503():
+    engine = InferenceEngine(pipeline=None)
+    with pytest.raises(ModelNotLoaded):
+        engine.edit({"image": "x"})
+
+
+def test_unknown_route_404(server_url):
+    url, _ = server_url
+    try:
+        with urllib.request.urlopen(url + "/nope", timeout=30) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
+def test_ui_served(server_url):
+    url, _ = server_url
+    with urllib.request.urlopen(url + "/ui", timeout=30) as r:
+        html = r.read().decode()
+    assert r.status == 200 and "/edit" in html and "webcam" in html.lower()

@@ -1,0 +1,97 @@
+"""Temporal stream pipeline + condition caches."""
+
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
+    LRUCache,
+    PromptCache,
+    image_fingerprint,
+)
+from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import RealtimePipeline
+from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import StubEncoder
+
+TINY_STREAM = StreamConfig(
+    width=64, height=64,
+    vae_image_area=64 * 64, vl_image_area=32 * 32,
+    num_inference_steps=2,
+    keyframe_interval=3,
+    model_preset="tiny",
+)
+
+
+@pytest.fixture(scope="module")
+def rt():
+    p = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+    p.precompute_conditions("oil painting style")
+    return p
+
+
+def test_lru_eviction_and_stats():
+    c = LRUCache(capacity=2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1
+    c.put("c", 3)  # evicts b (LRU)
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+    s = c.stats()
+    assert s["size"] == 2 and s["hits"] == 3 and s["misses"] == 1
+
+
+def test_image_fingerprint_sensitivity():
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = a.copy()
+    b[0, 0, 0] = 1
+    assert image_fingerprint(a) != image_fingerprint(b)
+    assert image_fingerprint(a) == image_fingerprint(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_prompt_cache_hits():
+    enc = StubEncoder(joint_dim=16, max_len=8)
+    pc = PromptCache(enc)
+    img = np.zeros((4, 4, 3), np.uint8)
+    e1 = pc.encode("hello", [img])
+    e2 = pc.encode("hello", [img])
+    assert pc.cache.stats()["hits"] == 1
+    np.testing.assert_array_equal(e1.embeds, e2.embeds)
+    pc.encode("different", [img])
+    assert pc.cache.stats()["misses"] == 2
+
+
+def test_keyframe_schedule(rt):
+    frame = imaging.make_test_image(64, 64, "gradient")
+    flags = []
+    for _ in range(5):
+        rt.process_frame(frame)
+        flags.append(rt.is_keyframe)
+    # interval=3: frames 0,3 are keyframes; 1,2,4 temporal
+    assert flags == [True, False, False, True, False]
+    assert rt.frame_count == 5
+    stats = rt.get_stats()
+    assert stats["fps"] > 0 and stats["frame_count"] == 5
+
+
+def test_temporal_frames_produce_valid_images(rt):
+    frame = imaging.make_test_image(64, 64, "circle")
+    outs = [rt.process_frame(frame) for _ in range(3)]
+    for o in outs:
+        assert o.size == (64, 64)
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
+def test_temporal_latent_carried(rt):
+    assert rt.prev_latent is not None
+    assert rt.prev_latent.shape == (1, 8, 8, 16)
+
+
+def test_pipeline_prompt_cache_wired():
+    p = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+    p.precompute_conditions("stylize")
+    frame = imaging.make_test_image(64, 64, "gray")
+    p.process_frame(frame)
+    p.process_frame(frame)
+    stats = p.pipe.prompt_cache.stats()
+    assert stats["hits"] >= 1, f"prompt cache never hit: {stats}"
