@@ -228,7 +228,7 @@ def _mk_presets():
         scheduler=SchedulerConfig(),
         vl=VLConfig(hidden_size=48, num_layers=2, num_heads=4,
                     num_kv_heads=2, intermediate_size=96, vocab_size=512,
-                    mrope_sections=(2, 5, 5),
+                    mrope_sections=(2, 2, 2),  # sums to head_dim/2 = 6
                     vision_depth=2, vision_hidden=32, vision_heads=2,
                     vision_intermediate=64, vision_out_dim=48,
                     fullatt_block_indexes=(1,), max_text_len=64),

@@ -280,6 +280,127 @@ def export_vae(params: Dict, cfg: VAEConfig) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Qwen2.5-VL encoder
+# ---------------------------------------------------------------------------
+
+from qwen_image_edit_streamdiffusion_tpu.core.config import VLConfig  # noqa: E402
+
+
+def vl_key_map(cfg: VLConfig) -> Dict[str, Tuple[Tuple[str, ...], str]]:
+    """HF Qwen2_5_VL names (``visual.*`` / ``model.*``; outer prefixes like
+    ``model.language_model.`` are normalized by the caller) → our tree."""
+    m: Dict[str, Tuple[Tuple[str, ...], str]] = {}
+
+    def lin(tk: str, path: Tuple, bias: bool):
+        m[tk + ".weight"] = (path + ("w",), "linear_w")
+        if bias:
+            m[tk + ".bias"] = (path + ("b",), "bias")
+
+    # vision tower
+    m["visual.patch_embed.proj.weight"] = (
+        ("vision", "patch_embed", "w"), "patch_conv")
+    for i in range(cfg.vision_depth):
+        pre = f"visual.blocks.{i}."
+        p = ("vision", "blocks", i)
+        m[pre + "norm1.weight"] = (p + ("norm1", "scale"), "norm")
+        lin(pre + "attn.qkv", p + ("qkv",), True)
+        lin(pre + "attn.proj", p + ("proj",), True)
+        m[pre + "norm2.weight"] = (p + ("norm2", "scale"), "norm")
+        lin(pre + "mlp.gate_proj", p + ("mlp", "gate"), True)
+        lin(pre + "mlp.up_proj", p + ("mlp", "up"), True)
+        lin(pre + "mlp.down_proj", p + ("mlp", "down"), True)
+    m["visual.merger.ln_q.weight"] = (("vision", "merger", "ln_q", "scale"), "norm")
+    lin("visual.merger.mlp.0", ("vision", "merger", "fc1"), True)
+    lin("visual.merger.mlp.2", ("vision", "merger", "fc2"), True)
+
+    # language model
+    m["model.embed_tokens.weight"] = (("lm", "embed"), "embed")
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        p = ("lm", "blocks", i)
+        m[pre + "input_layernorm.weight"] = (p + ("input_norm", "scale"), "norm")
+        lin(pre + "self_attn.q_proj", p + ("q_proj",), True)
+        lin(pre + "self_attn.k_proj", p + ("k_proj",), True)
+        lin(pre + "self_attn.v_proj", p + ("v_proj",), True)
+        lin(pre + "self_attn.o_proj", p + ("o_proj",), False)
+        m[pre + "post_attention_layernorm.weight"] = (
+            p + ("post_norm", "scale"), "norm")
+        lin(pre + "mlp.gate_proj", p + ("mlp", "gate"), False)
+        lin(pre + "mlp.up_proj", p + ("mlp", "up"), False)
+        lin(pre + "mlp.down_proj", p + ("mlp", "down"), False)
+    m["model.norm.weight"] = (("lm", "norm", "scale"), "norm")
+    return m
+
+
+def normalize_vl_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip transformers-version-dependent outer prefixes and drop the LM
+    head (we only need hidden states)."""
+    out = {}
+    for k, v in state.items():
+        if k.startswith("lm_head."):
+            continue
+        k2 = k
+        for pre, rep in (("model.visual.", "visual."),
+                         ("model.language_model.", "model."),
+                         ("language_model.model.", "model.")):
+            if k2.startswith(pre):
+                k2 = rep + k2[len(pre):]
+                break
+        out[k2] = v
+    return out
+
+
+def convert_vl(state: Dict[str, np.ndarray], cfg: VLConfig, dtype=None) -> Dict:
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+    import jax
+
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    state = normalize_vl_keys(state)
+    key_map = vl_key_map(cfg)
+    missing = sorted(set(key_map) - set(state))
+    unused = sorted(set(state) - set(key_map))
+    if missing or unused:
+        raise ValueError(
+            f"VL checkpoint mismatch: {len(missing)} missing "
+            f"(e.g. {missing[:3]}), {len(unused)} unused (e.g. {unused[:3]})"
+        )
+    key = jax.random.PRNGKey(0)
+    kv, kl = jax.random.split(key)
+    tree = {"vision": qwen_vl.vision_init(kv, cfg),
+            "lm": qwen_vl.lm_init(kl, cfg)}
+    for tk, (path, kind) in key_map.items():
+        arr = np.asarray(state[tk])
+        if kind == "linear_w":
+            arr = _t_linear(arr)
+        elif kind == "norm":
+            arr = _t_norm(arr)
+        elif kind == "patch_conv":
+            # (d, 3, tp, p, p) → (3·tp·p², d) matmul weight
+            arr = np.ascontiguousarray(arr.reshape(arr.shape[0], -1).T)
+        # "embed": kept (vocab, d) as-is
+        _set_path(tree, path, jnp.asarray(arr, dtype))
+    return tree
+
+
+def export_vl(params: Dict, cfg: VLConfig) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for tk, (path, kind) in vl_key_map(cfg).items():
+        node = params
+        for p in path:
+            node = node[p]
+        arr = np.asarray(node, np.float32)
+        if kind == "linear_w":
+            arr = np.ascontiguousarray(arr.T)
+        elif kind == "patch_conv":
+            d = arr.shape[1]
+            arr = np.ascontiguousarray(arr.T).reshape(
+                d, 3, cfg.temporal_patch_size, cfg.patch_size, cfg.patch_size
+            )
+        out[tk] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
 # safetensors IO
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,514 @@
+"""Qwen2.5-VL prompt/vision encoder — native JAX implementation.
+
+The reference's pipeline encodes the instruction text *jointly with the
+input image(s)* through Qwen2.5-VL inside every call (SURVEY.md §2.2 — the
+"VLM cache" files exist exactly because this is expensive). This module is
+the TPU-native port (SURVEY.md §7.3 ranks it the hardest): a
+dynamic-resolution ViT with windowed attention and 2D RoPE feeding a
+GQA decoder with multimodal 3D RoPE (M-RoPE); prompt conditioning is the
+final hidden states after the chat-template prefix is dropped.
+
+Components (HF `Qwen2_5_VLForConditionalGeneration` architecture, re-built
+functionally):
+
+- vision tower: 14×14 patch embed (temporal patch 2 — single images are
+  frame-duplicated), `vision_depth` blocks of RMSNorm → attention → SwiGLU
+  MLP, window attention (``window_size`` px) except at
+  ``fullatt_block_indexes``, 2×2 spatial merger MLP → ``vision_out_dim``;
+- language model: embed → `num_layers` × (RMSNorm → GQA attention with
+  M-RoPE (t,h,w sections) → RMSNorm → SwiGLU) → final RMSNorm;
+- :class:`QwenVLEncoder`: chat template, tokenizer (HF tokenizer when a
+  checkpoint dir is available, deterministic byte-hash fallback otherwise —
+  token *ids* only matter when real weights are loaded, and real weights
+  ship with their tokenizer), bucketed fixed-length output + mask.
+
+Everything is (batch=1)-shaped pure functions over param dicts; jitted per
+(grid, text-bucket) key by the caller.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_image_edit_streamdiffusion_tpu.core.config import VLConfig
+from qwen_image_edit_streamdiffusion_tpu.models.common import (
+    Params,
+    linear,
+    linear_init,
+    rms_norm,
+    rms_norm_init,
+)
+from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
+    SYSTEM_PROMPT,
+    PromptEmbedding,
+)
+from qwen_image_edit_streamdiffusion_tpu.ops.attention import reference_attention
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _swiglu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+def _swiglu_init(key, dim: int, hidden: int, dtype, bias: bool = False) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gate": linear_init(k1, dim, hidden, dtype, bias=bias),
+        "up": linear_init(k2, dim, hidden, dtype, bias=bias),
+        "down": linear_init(k3, hidden, dim, dtype, bias=bias),
+    }
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def _apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """HF rotate-half convention: cos/sin already repeated to head_dim."""
+    x32 = x.astype(jnp.float32)
+    return (x32 * cos + _rotate_half(x32) * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+def vision_init(key: jax.Array, cfg: VLConfig) -> Params:
+    dtype = jnp.dtype(cfg.dtype)
+    d = cfg.vision_hidden
+    patch_in = 3 * cfg.temporal_patch_size * cfg.patch_size * cfg.patch_size
+    ks = iter(jax.random.split(key, 4 + 4 * cfg.vision_depth))
+    blocks = []
+    for _ in range(cfg.vision_depth):
+        blocks.append({
+            "norm1": rms_norm_init(d, dtype),
+            "qkv": linear_init(next(ks), d, 3 * d, dtype, bias=True),
+            "proj": linear_init(next(ks), d, d, dtype, bias=True),
+            "norm2": rms_norm_init(d, dtype),
+            "mlp": _swiglu_init(next(ks), d, cfg.vision_intermediate, dtype,
+                                bias=True),
+        })
+    merge_dim = d * cfg.spatial_merge_size ** 2
+    return {
+        "patch_embed": linear_init(next(ks), patch_in, d, dtype, bias=False),
+        "blocks": blocks,
+        "merger": {
+            "ln_q": rms_norm_init(d, dtype),
+            "fc1": linear_init(next(ks), merge_dim, merge_dim, dtype),
+            "fc2": linear_init(next(ks), merge_dim, cfg.vision_out_dim, dtype),
+        },
+    }
+
+
+def _vision_rope(cfg: VLConfig, gh: int, gw: int) -> Tuple[np.ndarray, np.ndarray]:
+    """2D rotary tables for the (gh, gw) patch grid, window-major order.
+
+    head_dim/4 frequencies each for the h and w coordinates, concatenated
+    then duplicated (rotate-half convention) → (L, head_dim) cos/sin.
+    """
+    head_dim = cfg.vision_hidden // cfg.vision_heads
+    quarter = head_dim // 4
+    inv = 1.0 / (10000.0 ** (np.arange(quarter, dtype=np.float64) / quarter))
+    hs = np.repeat(np.arange(gh), gw).astype(np.float64)
+    ws = np.tile(np.arange(gw), gh).astype(np.float64)
+    ang = np.concatenate([np.outer(hs, inv), np.outer(ws, inv)], axis=-1)
+    ang = np.concatenate([ang, ang], axis=-1)  # (L, head_dim)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _window_order(cfg: VLConfig, gh: int, gw: int) -> Tuple[np.ndarray, int]:
+    """Permutation putting tokens into (win_h, win_w) windows of
+    ``window_size/patch_size`` patches, padded grid assumed. Returns
+    (perm index array, tokens per window)."""
+    wp = cfg.window_size // cfg.patch_size  # patches per window side
+    idx = np.arange(gh * gw).reshape(gh, gw)
+    nwh, nww = gh // wp, gw // wp
+    out = idx.reshape(nwh, wp, nww, wp).transpose(0, 2, 1, 3).reshape(-1)
+    return out, wp * wp
+
+
+def vision_forward(
+    params: Params, cfg: VLConfig, patches: jnp.ndarray, gh: int, gw: int
+) -> jnp.ndarray:
+    """patches: (gh*gw, 3·tp·p²) pre-extracted patch pixels (row-major grid,
+    gh/gw multiples of spatial_merge AND window patches — caller pads).
+    Returns merged vision tokens (gh*gw/4, vision_out_dim)."""
+    nh = cfg.vision_heads
+    d = cfg.vision_hidden
+    hd = d // nh
+    x = linear(params["patch_embed"], patches)  # (L, d)
+    l = gh * gw
+
+    cos_np, sin_np = _vision_rope(cfg, gh, gw)
+    perm, win_tokens = _window_order(cfg, gh, gw)
+    inv_perm = np.argsort(perm)
+    # windows are contiguous after permutation
+    x = x[perm]
+    cos = jnp.asarray(cos_np[perm])[None, None]  # (1,1,L,hd)
+    sin = jnp.asarray(sin_np[perm])[None, None]
+    n_win = l // win_tokens
+
+    for i, blk in enumerate(params["blocks"]):
+        h = rms_norm(blk["norm1"], x, cfg.rms_eps)
+        qkv = linear(blk["qkv"], h).reshape(l, 3, nh, hd)
+        q = qkv[:, 0].transpose(1, 0, 2)[None]  # (1, nh, L, hd)
+        k = qkv[:, 1].transpose(1, 0, 2)[None]
+        v = qkv[:, 2].transpose(1, 0, 2)[None]
+        q = _apply_rope_half(q, cos, sin)
+        k = _apply_rope_half(k, cos, sin)
+        full = i in cfg.fullatt_block_indexes
+        if full:
+            o = reference_attention(q, k, v)
+        else:
+            # window attention: fold windows into the batch axis
+            qw = q.reshape(nh, n_win, win_tokens, hd).transpose(1, 0, 2, 3)
+            kw = k.reshape(nh, n_win, win_tokens, hd).transpose(1, 0, 2, 3)
+            vw = v.reshape(nh, n_win, win_tokens, hd).transpose(1, 0, 2, 3)
+            ow = reference_attention(qw, kw, vw)
+            o = ow.transpose(1, 0, 2, 3).reshape(1, nh, l, hd)
+        o = o[0].transpose(1, 0, 2).reshape(l, d)
+        x = x + linear(blk["proj"], o)
+        h2 = rms_norm(blk["norm2"], x, cfg.rms_eps)
+        x = x + _swiglu(blk["mlp"], h2)
+
+    x = x[inv_perm]  # back to row-major grid order
+    # 2×2 spatial merge (row-major within each merge cell)
+    m = cfg.spatial_merge_size
+    x = rms_norm(params["merger"]["ln_q"], x, cfg.rms_eps)
+    x = x.reshape(gh // m, m, gw // m, m, d).transpose(0, 2, 1, 3, 4)
+    x = x.reshape((gh // m) * (gw // m), m * m * d)
+    x = linear(params["merger"]["fc2"],
+               jax.nn.gelu(linear(params["merger"]["fc1"], x)))
+    return x  # (merged_tokens, vision_out_dim)
+
+
+# ---------------------------------------------------------------------------
+# Language model
+# ---------------------------------------------------------------------------
+
+
+def lm_init(key: jax.Array, cfg: VLConfig) -> Params:
+    dtype = jnp.dtype(cfg.dtype)
+    d = cfg.hidden_size
+    hd = d // cfg.num_heads
+    kv_dim = cfg.num_kv_heads * hd
+    ks = iter(jax.random.split(key, 6 + 6 * cfg.num_layers))
+    emb_scale = 0.02
+    embed = (jax.random.normal(next(ks), (cfg.vocab_size, d), jnp.float32)
+             * emb_scale).astype(dtype)
+    blocks = []
+    for _ in range(cfg.num_layers):
+        blocks.append({
+            "input_norm": rms_norm_init(d, dtype),
+            "q_proj": linear_init(next(ks), d, d, dtype, bias=True),
+            "k_proj": linear_init(next(ks), d, kv_dim, dtype, bias=True),
+            "v_proj": linear_init(next(ks), d, kv_dim, dtype, bias=True),
+            "o_proj": linear_init(next(ks), d, d, dtype, bias=False),
+            "post_norm": rms_norm_init(d, dtype),
+            "mlp": _swiglu_init(next(ks), d, cfg.intermediate_size, dtype),
+        })
+    return {"embed": embed, "blocks": blocks, "norm": rms_norm_init(d, dtype)}
+
+
+def _mrope_tables(cfg: VLConfig, pos: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """pos: (3, L) int (t, h, w) positions → (L, head_dim) cos/sin using the
+    mrope section layout (first s0 freqs from t, next s1 from h, s2 from w)."""
+    hd = cfg.hidden_size // cfg.num_heads
+    half = hd // 2
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(half, dtype=np.float64) / half))
+    # (3, L, half) angles from each coordinate
+    ang3 = pos[:, :, None].astype(np.float64) * inv[None, None, :]
+    sec = np.concatenate([
+        np.full(s, i) for i, s in enumerate(cfg.mrope_sections)
+    ]).astype(np.int64)  # (half,) which coordinate each freq uses
+    # gather: ang[l_idx, f_idx] = ang3[sec[f_idx], l_idx, f_idx]
+    ang = np.take_along_axis(
+        ang3.transpose(1, 2, 0), sec[None, :, None], axis=2
+    )[:, :, 0]  # (L, half)
+    ang = np.concatenate([ang, ang], axis=-1)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def lm_forward(
+    params: Params,
+    cfg: VLConfig,
+    input_embeds: jnp.ndarray,  # (L, hidden)
+    cos: jnp.ndarray,  # (L, head_dim)
+    sin: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray] = None,  # (L,) bool (True = real)
+) -> jnp.ndarray:
+    """Causal decoder over one sequence; returns final hidden states (L, d)."""
+    d = cfg.hidden_size
+    nh = cfg.num_heads
+    nkv = cfg.num_kv_heads
+    hd = d // nh
+    l = input_embeds.shape[0]
+
+    causal = np.tril(np.ones((l, l), bool))
+    mask2d = jnp.asarray(causal)
+    if attn_mask is not None:
+        mask2d = mask2d & attn_mask[None, :]
+    cos_b = cos[None, None]
+    sin_b = sin[None, None]
+
+    x = input_embeds
+    for blk in params["blocks"]:
+        h = rms_norm(blk["input_norm"], x, cfg.rms_eps)
+        q = linear(blk["q_proj"], h).reshape(l, nh, hd).transpose(1, 0, 2)[None]
+        k = linear(blk["k_proj"], h).reshape(l, nkv, hd).transpose(1, 0, 2)[None]
+        v = linear(blk["v_proj"], h).reshape(l, nkv, hd).transpose(1, 0, 2)[None]
+        q = _apply_rope_half(q, cos_b, sin_b)
+        k = _apply_rope_half(k, cos_b, sin_b)
+        # GQA: repeat kv heads
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * (hd ** -0.5)
+        s = jnp.where(mask2d[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o[0].transpose(1, 0, 2).reshape(l, d)
+        x = x + linear(blk["o_proj"], o)
+        h2 = rms_norm(blk["post_norm"], x, cfg.rms_eps)
+        x = x + _swiglu(blk["mlp"], h2)
+    return rms_norm(params["norm"], x, cfg.rms_eps)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer + chat template
+# ---------------------------------------------------------------------------
+
+# Special token ids (Qwen2 conventions)
+IM_START = 151644
+IM_END = 151645
+IMAGE_PAD = 151655
+VISION_START = 151652
+VISION_END = 151653
+
+
+class SimpleTokenizer:
+    """Deterministic hashed tokenizer fallback.
+
+    Token *identities* only matter with real weights, which always ship
+    with their HF tokenizer (loaded when available). This fallback keeps
+    the full encoder path runnable/testable on random weights: each
+    whitespace token hashes to a stable id in [0, vocab)."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str) -> List[int]:
+        out = []
+        for tok in text.split():
+            h = int.from_bytes(
+                hashlib.sha256(tok.encode()).digest()[:4], "little"
+            )
+            out.append(h % min(self.vocab_size, 151000))
+        return out
+
+
+def load_hf_tokenizer(path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path)
+
+
+def smart_resize_hw(h: int, w: int, factor: int, min_pixels: int,
+                    max_pixels: int) -> Tuple[int, int]:
+    """Qwen2.5-VL image sizing rule: round to ``factor`` multiples, keep
+    area within bounds, preserve aspect."""
+    nh = max(factor, round(h / factor) * factor)
+    nw = max(factor, round(w / factor) * factor)
+    if nh * nw > max_pixels:
+        beta = math.sqrt(h * w / max_pixels)
+        nh = max(factor, math.floor(h / beta / factor) * factor)
+        nw = max(factor, math.floor(w / beta / factor) * factor)
+    elif nh * nw < min_pixels:
+        beta = math.sqrt(min_pixels / (h * w))
+        nh = math.ceil(h * beta / factor) * factor
+        nw = math.ceil(w * beta / factor) * factor
+    return nh, nw
+
+
+def extract_patches(img: np.ndarray, cfg: VLConfig) -> Tuple[np.ndarray, int, int]:
+    """HWC uint8/float image → (gh*gw, 3·tp·p²) patch matrix (+ grid dims).
+
+    Resizes to window-aligned multiples of patch·merge, normalizes with
+    CLIP-style mean/std, duplicates the single frame over the temporal
+    patch (HF behavior for images).
+    """
+    from PIL import Image as PILImage
+
+    p = cfg.patch_size
+    # windows need window_size/patch alignment; pad grid to window multiple
+    factor = p * cfg.spatial_merge_size
+    h, w = img.shape[:2]
+    nh, nw = smart_resize_hw(h, w, factor, min_pixels=factor * factor * 4,
+                             max_pixels=2048 * 2048)
+    # align to full windows so window attention never needs ragged masks
+    wp = cfg.window_size // p
+    gh = ((nh // p) + wp - 1) // wp * wp
+    gw = ((nw // p) + wp - 1) // wp * wp
+    nh, nw = gh * p, gw * p
+    pil = PILImage.fromarray(img.astype(np.uint8))
+    arr = np.asarray(pil.resize((nw, nh), PILImage.BICUBIC), np.float32) / 255.0
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    arr = (arr - mean) / std
+    # (gh, p, gw, p, 3) → (gh*gw, 3, p, p)
+    patches = arr.reshape(gh, p, gw, p, 3).transpose(0, 2, 4, 1, 3)
+    patches = patches.reshape(gh * gw, 3, p, p)
+    # duplicate temporal frame: (L, 3, tp, p, p) → flatten
+    tp = cfg.temporal_patch_size
+    patches = np.repeat(patches[:, :, None], tp, axis=2)
+    return patches.reshape(gh * gw, 3 * tp * p * p), gh, gw
+
+
+class QwenVLEncoder:
+    """Drop-in PromptEncoder backed by the native Qwen2.5-VL port."""
+
+    def __init__(self, cfg: VLConfig, params: Optional[Params] = None,
+                 tokenizer=None, seed: int = 0, max_len: int = 256):
+        self.cfg = cfg
+        self.joint_dim = cfg.hidden_size
+        self.max_len = max_len
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            kv, kl = jax.random.split(key)
+            params = {"vision": vision_init(kv, cfg), "lm": lm_init(kl, cfg)}
+        self.params = params
+        self.tokenizer = tokenizer or SimpleTokenizer(cfg.vocab_size)
+        self._jit_cache: Dict = {}
+
+    # -- jit helpers ----------------------------------------------------
+
+    def _vision_fn(self, gh: int, gw: int):
+        key = ("vision", gh, gw)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(params, patches):
+                return vision_forward(params, cfg, patches, gh, gw)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _lm_fn(self, l: int):
+        key = ("lm", l)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(params, embeds, cos, sin, mask):
+                return lm_forward(params, cfg, embeds, cos, sin, mask)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    # -- main entry ------------------------------------------------------
+
+    def encode(self, prompt: str, images: Sequence[np.ndarray] = ()
+               ) -> PromptEmbedding:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        tok = self.tokenizer
+
+        sys_ids = ([IM_START] + tok.encode("system " + SYSTEM_PROMPT)
+                   + [IM_END])
+        pre_ids = sys_ids + [IM_START] + tok.encode("user")
+        drop_len = len(sys_ids)  # prompt embeds drop the system prefix
+
+        vision_tokens: List[jnp.ndarray] = []
+        grids: List[Tuple[int, int]] = []
+        img_id_spans: List[List[int]] = []
+        for img in images:
+            patches, gh, gw = extract_patches(np.asarray(img), cfg)
+            vt = self._vision_fn(gh, gw)(
+                self.params["vision"], jnp.asarray(patches, dtype)
+            )
+            vision_tokens.append(vt)
+            grids.append((gh, gw))
+            n_merged = vt.shape[0]
+            img_id_spans.append(
+                [VISION_START] + [IMAGE_PAD] * n_merged + [VISION_END]
+            )
+
+        prompt_ids = tok.encode(prompt)
+        tail_ids = [IM_END, IM_START] + tok.encode("assistant")
+
+        ids: List[int] = list(pre_ids)
+        for span in img_id_spans:
+            ids += span
+        ids += prompt_ids + tail_ids
+
+        # embeddings: text from the table, image pads replaced by vision
+        embed_table = self.params["lm"]["embed"]
+        embeds = jnp.asarray(embed_table)[np.asarray(ids)]
+        cursor = len(pre_ids)
+        for vt, span in zip(vision_tokens, img_id_spans):
+            start = cursor + 1  # after VISION_START
+            embeds = embeds.at[start:start + vt.shape[0]].set(
+                vt.astype(embeds.dtype)
+            )
+            cursor += len(span)
+
+        # M-RoPE positions: vision spans interleave text
+        pos = _positions_from_ids(cfg, ids, grids)
+        cos_np, sin_np = _mrope_tables(cfg, pos)
+
+        l = len(ids)
+        hidden = self._lm_fn(l)(
+            self.params["lm"], embeds, jnp.asarray(cos_np),
+            jnp.asarray(sin_np), jnp.ones((l,), bool)
+        )
+        out = np.asarray(hidden[drop_len:], np.float32)
+
+        out = out[: self.max_len]
+        n = out.shape[0]
+        embeds_out = np.zeros((self.max_len, cfg.hidden_size), np.float32)
+        embeds_out[:n] = out
+        mask = np.zeros((self.max_len,), bool)
+        mask[:n] = True
+        return PromptEmbedding(embeds=embeds_out, mask=mask)
+
+
+def _positions_from_ids(cfg: VLConfig, ids: List[int],
+                        grids: List[Tuple[int, int]]) -> np.ndarray:
+    """Walk the token list building (3, L) M-RoPE positions; IMAGE_PAD runs
+    take grid positions, everything else advances scalar positions."""
+    ts: List[int] = []
+    hs: List[int] = []
+    ws: List[int] = []
+    pos = 0
+    i = 0
+    g = 0
+    n = len(ids)
+    while i < n:
+        if ids[i] == IMAGE_PAD:
+            gh, gw = grids[g]
+            mh = gh // cfg.spatial_merge_size
+            mw = gw // cfg.spatial_merge_size
+            for r in range(mh):
+                for c in range(mw):
+                    ts.append(pos); hs.append(pos + r); ws.append(pos + c)
+            pos += max(mh, mw)
+            i += mh * mw
+            g += 1
+        else:
+            ts.append(pos); hs.append(pos); ws.append(pos)
+            pos += 1
+            i += 1
+    return np.stack([np.asarray(ts), np.asarray(hs), np.asarray(ws)])

@@ -142,3 +142,22 @@ def test_lora_fusion_changes_forward(tiny_preset):
     o1 = tfm.forward(params, cfg, img, txt, t, ropes, use_flash=False)
     o2 = tfm.forward(fused, cfg, img, txt, t, ropes, use_flash=False)
     assert np.abs(np.asarray(o1, np.float32) - np.asarray(o2, np.float32)).max() > 1e-5
+
+
+def test_vl_roundtrip(tiny_preset):
+    import jax
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+
+    cfg = tiny_preset.vl
+    kv, kl = jax.random.split(jax.random.PRNGKey(3))
+    params = {"vision": qwen_vl.vision_init(kv, cfg),
+              "lm": qwen_vl.lm_init(kl, cfg)}
+    state = convert.export_vl(params, cfg)
+    # hf-style outer prefixes must be normalized away by convert_vl
+    state = {
+        ("model.language_model." + k[len("model."):]
+         if k.startswith("model.") else k): v
+        for k, v in state.items()
+    }
+    back = convert.convert_vl(state, cfg)
+    _tree_equal(params, back)

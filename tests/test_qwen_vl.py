@@ -1,0 +1,121 @@
+"""Native Qwen2.5-VL encoder tests (tiny VL config)."""
+
+import jax
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
+    QwenVLEncoder,
+    SimpleTokenizer,
+    extract_patches,
+    smart_resize_hw,
+    _mrope_tables,
+    _positions_from_ids,
+    _window_order,
+    IMAGE_PAD,
+)
+
+
+@pytest.fixture(scope="module")
+def enc(tiny_preset):
+    return QwenVLEncoder(tiny_preset.vl, seed=0, max_len=96)
+
+
+def test_smart_resize_alignment():
+    h, w = smart_resize_hw(480, 640, 28, 56 * 56, 1024 * 1024)
+    assert h % 28 == 0 and w % 28 == 0
+    assert 56 * 56 <= h * w <= 1024 * 1024
+
+
+def test_extract_patches_shapes(tiny_preset):
+    cfg = tiny_preset.vl
+    img = np.random.default_rng(0).integers(0, 255, (100, 160, 3)).astype(np.uint8)
+    patches, gh, gw = extract_patches(img, cfg)
+    wp = cfg.window_size // cfg.patch_size
+    assert gh % wp == 0 and gw % wp == 0
+    assert patches.shape == (gh * gw,
+                             3 * cfg.temporal_patch_size * cfg.patch_size ** 2)
+
+
+def test_window_order_is_permutation(tiny_preset):
+    cfg = tiny_preset.vl
+    wp = cfg.window_size // cfg.patch_size
+    gh, gw = 2 * wp, 3 * wp
+    perm, win_tokens = _window_order(cfg, gh, gw)
+    assert win_tokens == wp * wp
+    assert sorted(perm.tolist()) == list(range(gh * gw))
+
+
+def test_mrope_positions_walk(tiny_preset):
+    cfg = tiny_preset.vl
+    m = cfg.spatial_merge_size
+    gh, gw = 4, 4  # merged 2x2
+    ids = [1, 2] + [IMAGE_PAD] * ((gh // m) * (gw // m)) + [3]
+    pos = _positions_from_ids(cfg, ids, [(gh, gw)])
+    assert pos.shape == (3, len(ids))
+    # text prefix: all coords equal
+    np.testing.assert_array_equal(pos[:, 0], [0, 0, 0])
+    np.testing.assert_array_equal(pos[:, 1], [1, 1, 1])
+    # image tokens: t constant, (h, w) grid
+    np.testing.assert_array_equal(pos[0, 2:6], [2, 2, 2, 2])
+    np.testing.assert_array_equal(pos[1, 2:6], [2, 2, 3, 3])
+    np.testing.assert_array_equal(pos[2, 2:6], [2, 3, 2, 3])
+    # trailing text continues after the grid extent
+    np.testing.assert_array_equal(pos[:, 6], [4, 4, 4])
+
+
+def test_mrope_tables_shape(tiny_preset):
+    cfg = tiny_preset.vl
+    pos = np.stack([np.arange(5)] * 3)
+    cos, sin = _mrope_tables(cfg, pos)
+    hd = cfg.hidden_size // cfg.num_heads
+    assert cos.shape == (5, hd) and sin.shape == (5, hd)
+    np.testing.assert_allclose(cos[0], np.ones(hd))  # position 0 → angle 0
+
+
+def test_encode_text_only(enc):
+    e = enc.encode("make it a watercolor painting")
+    assert e.embeds.shape == (96, enc.cfg.hidden_size)
+    assert e.mask.any() and not e.mask.all()
+    assert np.isfinite(e.embeds).all()
+
+
+def test_encode_with_image(enc, tiny_preset):
+    img = np.random.default_rng(1).integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    e = enc.encode("stylize", [img])
+    assert np.isfinite(e.embeds).all()
+    e2 = enc.encode("stylize", [img])
+    np.testing.assert_array_equal(e.embeds, e2.embeds)  # deterministic
+
+
+def test_image_changes_embedding(enc):
+    a = np.zeros((64, 64, 3), np.uint8)
+    b = np.full((64, 64, 3), 255, np.uint8)
+    ea = enc.encode("stylize", [a])
+    eb = enc.encode("stylize", [b])
+    assert np.abs(ea.embeds - eb.embeds).max() > 1e-4
+
+
+def test_prompt_changes_embedding(enc):
+    ea = enc.encode("oil painting")
+    eb = enc.encode("pencil sketch")
+    assert np.abs(ea.embeds - eb.embeds).max() > 1e-4
+
+
+def test_encoder_plugs_into_pipeline(tiny_preset):
+    from qwen_image_edit_streamdiffusion_tpu.core import imaging
+    from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    enc = QwenVLEncoder(tiny_preset.vl, seed=0, max_len=64)
+    cfg = StreamConfig(width=64, height=64, vae_image_area=64 * 64,
+                       vl_image_area=56 * 56, num_inference_steps=1,
+                       model_preset="tiny")
+    pipe = EditPipeline.create("tiny", config=cfg, seed=0, encoder=enc)
+    res = pipe(imaging.make_test_image(64, 64, "circle"), "stylize",
+               num_inference_steps=1)
+    assert res.images[0].size == (64, 64)
+    assert np.isfinite(np.asarray(res.images[0], np.float32)).all()
