@@ -1,0 +1,306 @@
+"""Benchmark & smoke-test suite — ports of the reference's 10 standalone
+scripts (SURVEY.md §2.1/§3.5) as one CLI.
+
+  python -m qwen_image_edit_streamdiffusion_tpu.benchmarks.suite <name> [opts]
+
+| name              | reference script(s)                                   |
+|-------------------|-------------------------------------------------------|
+| smoke             | test_qwen_edit.py (saves test_input/test_output PNGs) |
+| minimal           | test_minimal.py (steps 2/4/8 ladder)                  |
+| device_speed      | test_gpu_speed.py / test_gpu_direct.py (steps 1/2/4/8)|
+| quantized         | test_quantized.py / benchmark_int8.py (int8 ladder)   |
+| compiled          | test_compiled.py / benchmark_compile.py (cold vs warm)|
+| optimizations     | benchmark_optimizations.py (flash-attn on/off)        |
+| lightning         | benchmark_lightning.py (LoRA-fused 2 vs 4 step)       |
+| lightning_compile | benchmark_lightning_compile.py (LoRA + jit: no-retrace)|
+| batched_cfg       | batched_cfg_pipeline.py (batched vs sequential CFG)   |
+| cfg_quality       | compare_cfg_quality.py (side-by-side CFG outputs)     |
+| cache             | cached_pipeline_v2.py / test_vlm_cache.py (hit/miss)  |
+| stream            | qwen_realtime.py run_benchmark (fps, temporal cache)  |
+
+Timing methodology mirrors the reference (§3.5): warmup runs, then
+synchronize-bracketed timed runs (block_until_ready), avg/min/max printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Callable, List
+
+import numpy as np
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import EditPipeline
+
+
+def _timed(fn: Callable[[], object], runs: int, warmup: int = 1,
+           label: str = "") -> List[float]:
+    for _ in range(warmup):
+        fn()
+    times = []
+    for i in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+        print(f"    run {i + 1}/{runs}: {times[-1]:.3f}s")
+    print(f"  {label}: avg {np.mean(times):.3f}s  min {np.min(times):.3f}s  "
+          f"max {np.max(times):.3f}s")
+    return times
+
+
+def _mk_pipe(args, **cfg_kw) -> EditPipeline:
+    config = StreamConfig(
+        width=args.size, height=args.size,
+        num_inference_steps=args.steps,
+        model_preset=args.preset,
+        vae_image_area=args.size * args.size,
+        vl_image_area=min(384 * 384, args.size * args.size),
+        **cfg_kw,
+    )
+    return EditPipeline.create(args.preset, config=config, seed=0)
+
+
+def _edit_fn(pipe, img, steps, **kw):
+    def run():
+        return pipe(img, "Transform into oil painting style",
+                    num_inference_steps=steps, seed=42, **kw)
+    return run
+
+
+# ---------------------------------------------------------------------------
+
+
+def bench_smoke(args):
+    """Full-functionality smoke test; saves input/output PNGs for eyeball
+    verification (reference test_qwen_edit.py:71,100)."""
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "circle")
+    img.save("test_input.png")
+    t0 = time.time()
+    res = pipe(img, "Change the red circle to a blue square",
+               num_inference_steps=args.steps, seed=42)
+    res.images[0].save("test_output.png")
+    arr = np.asarray(res.images[0], np.float32)
+    assert np.isfinite(arr).all(), "non-finite output!"
+    print(f"  OK in {time.time() - t0:.2f}s → test_input.png / test_output.png")
+
+
+def bench_minimal(args):
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    for steps in (2, 4, 8):
+        _timed(_edit_fn(pipe, img, steps), args.runs, label=f"{steps}-step")
+
+
+def bench_device_speed(args):
+    import jax
+
+    print(f"  devices: {jax.devices()}")
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    for steps in (1, 2, 4, 8):
+        t = _timed(_edit_fn(pipe, img, steps), args.runs,
+                   label=f"{steps}-step")
+        print(f"    per-step: {np.mean(t) / steps:.3f}s")
+
+
+def bench_quantized(args):
+    from qwen_image_edit_streamdiffusion_tpu.models import quantize
+    from qwen_image_edit_streamdiffusion_tpu.models.common import param_bytes
+
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    base_bytes = param_bytes(pipe.tfm_params)
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, label="bf16")
+    pipe.tfm_params = quantize.quantize_transformer(pipe.tfm_params)
+    pipe._jit_cache.clear()
+    q_bytes = param_bytes(pipe.tfm_params)
+    print(f"  transformer bytes: {base_bytes / 1e6:.0f}MB → {q_bytes / 1e6:.0f}MB "
+          f"({100 * q_bytes / base_bytes:.0f}%)")
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, label="int8")
+
+
+def bench_compiled(args):
+    """Cold-compile vs warm-cache latency (the jit analog of
+    torch.compile benchmarking)."""
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    t0 = time.time()
+    pipe(img, "x", num_inference_steps=args.steps, seed=42)
+    print(f"  cold (compile+run): {time.time() - t0:.2f}s")
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, warmup=0,
+           label="warm (compiled graph replay)")
+
+
+def bench_optimizations(args):
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, label="flash-attn")
+    pipe2 = _mk_pipe(args, use_flash_attention=False)
+    pipe2.tfm_params = pipe.tfm_params  # same weights
+    _timed(_edit_fn(pipe2, img, args.steps), args.runs, label="xla-attn")
+
+
+def bench_lightning(args):
+    """LoRA fused into weights (the Lightning setup) — 4-step baseline vs
+    LoRA 4-step vs LoRA 2-step (reference benchmark_lightning.py)."""
+    import jax
+
+    from qwen_image_edit_streamdiffusion_tpu.models import lora as lora_mod
+
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    _timed(_edit_fn(pipe, img, 4), args.runs, label="base 4-step")
+
+    lora_path = os.environ.get("QIE_LORA_PATH")
+    if lora_path:
+        tensors = lora_mod.load_lora_weights(lora_path)
+    else:
+        # synthetic rank-16 adapters on every attention q/k/v (random —
+        # timing-equivalent to real Lightning weights)
+        rng = np.random.default_rng(0)
+        d = pipe.preset.model.inner_dim
+        tensors = {}
+        for i in range(pipe.preset.model.num_layers):
+            for mod in ("attn.to_q", "attn.to_k", "attn.to_v"):
+                tensors[f"transformer_blocks.{i}.{mod}.lora_A.weight"] = (
+                    rng.standard_normal((16, d), ).astype(np.float32) * 0.01)
+                tensors[f"transformer_blocks.{i}.{mod}.lora_B.weight"] = (
+                    rng.standard_normal((d, 16)).astype(np.float32) * 0.01)
+        print("  (synthetic LoRA; set QIE_LORA_PATH for real weights)")
+    t0 = time.time()
+    pipe.tfm_params = lora_mod.fuse_lora(pipe.tfm_params, tensors)
+    jax.block_until_ready(pipe.tfm_params["blocks"][0]["attn"]["img_q"]["w"])
+    print(f"  LoRA fused in {time.time() - t0:.2f}s (zero runtime cost)")
+    _timed(_edit_fn(pipe, img, 4), args.runs, label="LoRA 4-step")
+    _timed(_edit_fn(pipe, img, 2), args.runs, label="LoRA 2-step")
+
+
+def bench_lightning_compile(args):
+    """Shows the torch.compile-vs-LoRA conflict (README.md:108) does not
+    exist here: fusing LoRA does NOT grow the jit cache (no retrace)."""
+    from qwen_image_edit_streamdiffusion_tpu.models import lora as lora_mod
+
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    pipe(img, "x", num_inference_steps=args.steps, seed=42)
+    n_graphs = len(pipe._jit_cache)
+    rng = np.random.default_rng(0)
+    d = pipe.preset.model.inner_dim
+    tensors = {
+        "transformer_blocks.0.attn.to_q.lora_A.weight":
+            rng.standard_normal((8, d)).astype(np.float32) * 0.01,
+        "transformer_blocks.0.attn.to_q.lora_B.weight":
+            rng.standard_normal((d, 8)).astype(np.float32) * 0.01,
+    }
+    pipe.tfm_params = lora_mod.fuse_lora(pipe.tfm_params, tensors)
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, warmup=1,
+           label="LoRA-fused, same compiled graph")
+    assert len(pipe._jit_cache) == n_graphs, "LoRA fusion caused a retrace!"
+    print(f"  graphs before/after LoRA: {n_graphs}/{len(pipe._jit_cache)} ✓")
+
+
+def bench_batched_cfg(args):
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    seq = _mk_pipe(args, cfg_mode="sequential")
+    t_seq = _timed(_edit_fn(seq, img, args.steps, negative_prompt=" ",
+                            true_cfg_scale=4.0), args.runs, label="sequential CFG")
+    bat = _mk_pipe(args, cfg_mode="batched")
+    bat.tfm_params = seq.tfm_params
+    bat.vae_params = seq.vae_params
+    t_bat = _timed(_edit_fn(bat, img, args.steps, negative_prompt=" ",
+                            true_cfg_scale=4.0), args.runs, label="batched CFG")
+    print(f"  batched speedup: {np.mean(t_seq) / np.mean(t_bat):.2f}× "
+          "(reference claims ~1.5-1.7×, README.md:126)")
+
+
+def bench_cfg_quality(args):
+    """Side-by-side CFG comparison images (reference compare_cfg_quality.py)."""
+    pipe = _mk_pipe(args, cfg_mode="batched")
+    img = imaging.make_test_image(args.size, args.size, "circle")
+    no_cfg = pipe(img, "oil painting", num_inference_steps=args.steps, seed=42)
+    cfg = pipe(img, "oil painting", negative_prompt="blurry, low quality",
+               true_cfg_scale=4.0, num_inference_steps=args.steps, seed=42)
+    no_cfg.images[0].save("cfg_off.png")
+    cfg.images[0].save("cfg_on.png")
+    d = np.abs(
+        np.asarray(no_cfg.images[0], np.float32)
+        - np.asarray(cfg.images[0], np.float32)
+    ).mean()
+    print(f"  saved cfg_off.png / cfg_on.png; mean pixel delta {d:.2f}")
+
+
+def bench_cache(args):
+    pipe = _mk_pipe(args)
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    run = _edit_fn(pipe, img, args.steps)
+    run()  # compile
+    t0 = time.time(); run(); warm_hit = time.time() - t0
+    pipe.prompt_cache.cache._d.clear()
+    pipe.latent_cache.cache._d.clear()
+    t0 = time.time(); run(); warm_miss = time.time() - t0
+    print(f"  warm request, cache hit:  {warm_hit:.3f}s")
+    print(f"  warm request, cache miss: {warm_miss:.3f}s")
+    print(f"  cache saves {warm_miss - warm_hit:.3f}s/request "
+          f"({pipe.prompt_cache.stats()})")
+
+
+def bench_stream(args):
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+
+    config = StreamConfig(
+        width=args.size, height=args.size,
+        num_inference_steps=args.steps, model_preset=args.preset,
+        vae_image_area=args.size * args.size,
+        vl_image_area=min(384 * 384, args.size * args.size),
+        keyframe_interval=10,
+    )
+    rt = RealtimePipeline.create(args.preset, config=config, seed=0)
+    rt.precompute_conditions("Transform into oil painting style")
+    rt.warmup(runs=2)
+    fps = rt.run_benchmark(num_frames=args.runs * 4)
+    print(f"  stream fps: {fps:.2f} (reference achieved ~0.4 fps 1-step on "
+          "A100; aspirational target 10-20, qwen_realtime.py:15)")
+
+
+BENCHES = {
+    "smoke": bench_smoke,
+    "minimal": bench_minimal,
+    "device_speed": bench_device_speed,
+    "quantized": bench_quantized,
+    "compiled": bench_compiled,
+    "optimizations": bench_optimizations,
+    "lightning": bench_lightning,
+    "lightning_compile": bench_lightning_compile,
+    "batched_cfg": bench_batched_cfg,
+    "cfg_quality": bench_cfg_quality,
+    "cache": bench_cache,
+    "stream": bench_stream,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("bench", choices=sorted(BENCHES) + ["all"])
+    ap.add_argument("--preset",
+                    default=os.environ.get("QIE_BENCH_PRESET", "bench-2b"))
+    ap.add_argument("--size", type=int,
+                    default=int(os.environ.get("QIE_BENCH_SIZE", "512")))
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    names = sorted(BENCHES) if args.bench == "all" else [args.bench]
+    for name in names:
+        print(f"[{name}] preset={args.preset} size={args.size}²")
+        BENCHES[name](args)
+
+
+if __name__ == "__main__":
+    main()

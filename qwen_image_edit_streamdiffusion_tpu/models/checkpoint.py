@@ -1,0 +1,88 @@
+"""Sharded on-disk checkpoints (orbax).
+
+SURVEY.md §5.4: the reference's model state is HF-hub safetensors pulled at
+startup (server.py:66); the TPU flow is a one-time conversion
+(models/convert.py) into an orbax checkpoint that loads directly into the
+target NamedSharding layout — each host reads only its shards, so a 40 GB
+transformer loads in parallel across the pod instead of streaming through
+one host's RAM.
+
+CLI for the offline conversion:
+  python -m qwen_image_edit_streamdiffusion_tpu.models.checkpoint convert \
+      --src /path/to/hf_checkpoint --component transformer \
+      --preset qwen-image-edit-2509 --out /ckpt/transformer
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def save(path: str, params: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def load(path: str, like: Optional[Any] = None, shardings: Optional[Any] = None):
+    """Restore a param tree. ``like`` provides structure/dtypes;
+    ``shardings`` (a matching tree of NamedShardings) makes every host read
+    only its own shards."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is None:
+        return ckptr.restore(path)
+    if shardings is not None:
+        target = jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+            like, shardings,
+        )
+    else:
+        target = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like
+        )
+    return ckptr.restore(path, target)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert", help="HF safetensors → orbax")
+    c.add_argument("--src", required=True)
+    c.add_argument("--component", required=True,
+                   choices=["transformer", "vae", "vl"])
+    c.add_argument("--preset", default="qwen-image-edit-2509")
+    c.add_argument("--out", required=True)
+    c.add_argument("--lora", help="optional LoRA safetensors to fuse first")
+    args = ap.parse_args(argv)
+
+    from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
+    from qwen_image_edit_streamdiffusion_tpu.models import convert as cv
+
+    preset = get_preset(args.preset)
+    state = cv.load_safetensors(args.src)
+    if args.component == "transformer":
+        params = cv.convert_transformer(state, preset.model)
+        if args.lora:
+            from qwen_image_edit_streamdiffusion_tpu.models import lora
+
+            params = lora.fuse_lora(params, lora.load_lora_weights(args.lora))
+    elif args.component == "vae":
+        params = cv.convert_vae(state, preset.vae)
+    else:
+        params = cv.convert_vl(state, preset.vl)
+    save(args.out, params)
+    print(f"saved {args.component} → {args.out}")
+
+
+if __name__ == "__main__":
+    main()
