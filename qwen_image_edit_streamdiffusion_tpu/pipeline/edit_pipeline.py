@@ -114,6 +114,12 @@ class EditPipeline:
         key = key_from_seed(seed)
         tfm_params = tfm.init(stream(key, "transformer"), preset.model)
         vae_params = vae_mod.init(stream(key, "vae"), preset.vae)
+        if config.use_int8:
+            from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+                quantize_transformer,
+            )
+
+            tfm_params = quantize_transformer(tfm_params)
         if mesh is not None:
             from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
@@ -131,30 +137,122 @@ class EditPipeline:
                    prompt_cache=PromptCache(encoder),
                    latent_cache=LatentCache())
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        transformer_path: str,
+        vae_path: str,
+        preset: str | Preset = "qwen-image-edit-2509",
+        config: Optional[StreamConfig] = None,
+        vl_path: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        mesh=None,
+    ) -> "EditPipeline":
+        """Construct from orbax checkpoints produced by
+        models.checkpoint (LoRA fused → optional int8 → optional TP shard,
+        in that order)."""
+        import jax as _jax
+
+        from qwen_image_edit_streamdiffusion_tpu.models import checkpoint as ckpt
+
+        if isinstance(preset, str):
+            preset = get_preset(preset)
+        config = config or StreamConfig(model_preset=preset.name)
+        like_t = _jax.eval_shape(
+            lambda: tfm.init(_jax.random.PRNGKey(0), preset.model)
+        )
+        like_v = _jax.eval_shape(
+            lambda: vae_mod.init(_jax.random.PRNGKey(0), preset.vae)
+        )
+        tfm_params = ckpt.load(transformer_path, like=like_t)
+        vae_params = ckpt.load(vae_path, like=like_v)
+        if lora_path:
+            from qwen_image_edit_streamdiffusion_tpu.models import lora
+
+            tfm_params = lora.fuse_lora(
+                tfm_params, lora.load_lora_weights(lora_path)
+            )
+        if config.use_int8:
+            from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+                quantize_transformer,
+            )
+
+            tfm_params = quantize_transformer(tfm_params)
+        if mesh is not None:
+            from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+            tfm_params = sharding.shard_transformer_params(tfm_params, mesh)
+            vae_params = sharding.replicate(vae_params, mesh)
+        if vl_path:
+            from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
+                QwenVLEncoder,
+            )
+
+            vl_params = ckpt.load(vl_path)
+            encoder: PromptEncoder = QwenVLEncoder(preset.vl, params=vl_params)
+        else:
+            encoder = StubEncoder.from_config(preset.vl)
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
+            LatentCache,
+            PromptCache,
+        )
+
+        return cls(preset=preset, config=config, tfm_params=tfm_params,
+                   vae_params=vae_params, encoder=encoder, mesh=mesh,
+                   prompt_cache=PromptCache(encoder),
+                   latent_cache=LatentCache())
+
     # ------------------------------------------------------------------
     # Jitted stages (cached per static key)
     # ------------------------------------------------------------------
 
     def _vae_encode_fn(self, hw: Tuple[int, int]):
+        """uint8 HWC image → packed condition tokens, one jit: on-device
+        normalization (¼ the host→device bytes of f32), VAE encode, 2×2
+        packing, model-dtype cast — a single dispatch on the wire."""
         key = ("vae_encode", hw)
         if key not in self._jit_cache:
             cfg = self.preset.vae
+            mdt = jnp.dtype(self.preset.model.dtype)
 
             @jax.jit
-            def run(params, img):
-                return vae_mod.encode(params, cfg, img)
+            def run(params, img_u8):
+                img = img_u8.astype(jnp.float32) / 127.5 - 1.0
+                z = vae_mod.encode(params, cfg, img)
+                return tfm.pack_latents(z).astype(mdt)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
     def _vae_decode_fn(self, hw: Tuple[int, int]):
+        """final packed tokens → (uint8 HWC image, f32 latents), one jit:
+        unpack, VAE decode, fused [-1,1]→[0,255] epilogue (¼ the
+        device→host bytes). Latents are returned for the temporal cache."""
         key = ("vae_decode", hw)
         if key not in self._jit_cache:
             cfg = self.preset.vae
+            zh, zw = hw
 
             @jax.jit
-            def run(params, z):
-                return vae_mod.decode(params, cfg, z)
+            def run(params, tokens):
+                z = tfm.unpack_latents(tokens.astype(jnp.float32), zh, zw)
+                x = vae_mod.decode(params, cfg, z)
+                x = jnp.clip((x * 0.5 + 0.5) * 255.0 + 0.5, 0.0, 255.0)
+                return x.astype(jnp.uint8), z
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _noise_fn(self, shape: Tuple[int, ...]):
+        """seeded packed-noise tokens in one jitted dispatch."""
+        key = ("noise", shape)
+        if key not in self._jit_cache:
+            mdt = jnp.dtype(self.preset.model.dtype)
+
+            @jax.jit
+            def run(rng):
+                noise = jax.random.normal(rng, shape, jnp.float32)
+                return tfm.pack_latents(noise).astype(mdt)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
@@ -275,7 +373,10 @@ class EditPipeline:
             vw, vh = imaging.calculate_dimensions(
                 self.config.vae_image_area, img.size[0] / img.size[1]
             )
-            vae_images.append(imaging.pil_to_array(imaging.resize(img, vw, vh)))
+            # uint8 end-to-end: normalization happens inside the encode jit
+            vae_images.append(
+                np.asarray(imaging.resize(img, vw, vh), dtype=np.uint8)
+            )
             lw, lh = imaging.calculate_dimensions(
                 self.config.vl_image_area, img.size[0] / img.size[1]
             )
@@ -290,11 +391,12 @@ class EditPipeline:
         tokens = []
         shapes = []
         for arr in vae_images:
-            x = jnp.asarray(arr, jnp.float32)[None]  # (1, H, W, 3)
-            z = self._vae_encode_fn(x.shape[1:3])(self.vae_params, x)
-            tok = tfm.pack_latents(z.astype(jnp.dtype(self.preset.model.dtype)))
-            tokens.append(tok)
-            shapes.append((1, z.shape[1] // 2, z.shape[2] // 2))
+            x = jnp.asarray(arr, jnp.uint8)[None]  # (1, H, W, 3)
+            tokens.append(self._vae_encode_fn(x.shape[1:3])(self.vae_params, x))
+            zh, zw = arr.shape[0] // 8, arr.shape[1] // 8
+            shapes.append((1, zh // 2, zw // 2))
+        if len(tokens) == 1:
+            return tokens[0], shapes
         return jnp.concatenate(tokens, axis=1), shapes
 
     # ------------------------------------------------------------------
@@ -355,13 +457,9 @@ class EditPipeline:
 
         # Initial noise for the target image (seeded — reference pins 42).
         zh, zw = out_h // 8, out_w // 8
-        model_dtype = jnp.dtype(self.preset.model.dtype)
-        noise = jax.random.normal(
-            stream(key_from_seed(seed), "latents"),
-            (1, zh, zw, self.preset.vae.latent_channels),
-            jnp.float32,
+        x0 = self._noise_fn((1, zh, zw, self.preset.vae.latent_channels))(
+            stream(key_from_seed(seed), "latents")
         )
-        x0 = tfm.pack_latents(noise).astype(model_dtype)
 
         img_shapes = tuple([(1, zh // 2, zw // 2)] + cond_shapes)
         run = self._denoise_fn(
@@ -376,14 +474,12 @@ class EditPipeline:
             jnp.float32(cfg_scale),
         )
 
-        latents = tfm.unpack_latents(
-            final_tokens.astype(jnp.float32), zh, zw
+        pixels, latents = self._vae_decode_fn((zh, zw))(
+            self.vae_params, final_tokens
         )
-        pixels = self._vae_decode_fn((zh, zw))(self.vae_params, latents)
-        pixels = jax.block_until_ready(pixels)
+        pixels = np.asarray(jax.block_until_ready(pixels))  # uint8 NHWC
         out_images = [
-            imaging.array_to_pil(np.asarray(pixels[i]))
-            for i in range(pixels.shape[0])
+            Image.fromarray(pixels[i]) for i in range(pixels.shape[0])
         ]
         return EditResult(
             images=out_images, latents=latents, elapsed=time.time() - t_start

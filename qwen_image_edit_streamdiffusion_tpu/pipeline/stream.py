@@ -126,15 +126,25 @@ class RealtimePipeline:
         )
         key = frame_key(stream(key_from_seed(cfgc.seed), "temporal"),
                         self.frame_count)
-        k_jit, k_re = jax.random.split(key)
-        prev = self.prev_latent.astype(jnp.float32)
-        if cfgc.noise_strength > 0:
-            prev = prev + cfgc.noise_strength * jax.random.normal(
-                k_jit, prev.shape, jnp.float32
-            )
-        eps = jax.random.normal(k_re, prev.shape, jnp.float32)
-        x = sched.scale_noise(prev, eps, schedule.sigmas[start])
-        x0 = tfm.pack_latents(x).astype(model_dtype)
+        # jitted temporal re-noise: jitter + forward-process to sigma[start]
+        # + pack, one dispatch (hot per-frame path)
+        tk = ("temporal_x0", self.prev_latent.shape)
+        if tk not in p._jit_cache:
+            @jax.jit
+            def prep(prev, rng, noise_strength, sigma):
+                k1, k2 = jax.random.split(rng)
+                prev32 = prev.astype(jnp.float32)
+                prev32 = prev32 + noise_strength * jax.random.normal(
+                    k1, prev32.shape, jnp.float32
+                )
+                eps = jax.random.normal(k2, prev32.shape, jnp.float32)
+                x = sched.scale_noise(prev32, eps, sigma)
+                return tfm.pack_latents(x).astype(model_dtype)
+
+            p._jit_cache[tk] = prep
+        x0 = p._jit_cache[tk](self.prev_latent, key,
+                              jnp.float32(cfgc.noise_strength),
+                              schedule.sigmas[start])
 
         img_shapes = tuple([(1, zh // 2, zw // 2)] + cond_shapes)
         run = p._denoise_fn(
@@ -143,10 +153,9 @@ class RealtimePipeline:
         )
         final = run(p.tfm_params, x0, cond_tokens, txt, mask, txt, mask,
                     jnp.float32(1.0))
-        latents = tfm.unpack_latents(final.astype(jnp.float32), zh, zw)
+        pixels, latents = p._vae_decode_fn((zh, zw))(p.vae_params, final)
         self.prev_latent = latents
-        pixels = p._vae_decode_fn((zh, zw))(p.vae_params, latents)
-        return imaging.array_to_pil(np.asarray(jax.block_until_ready(pixels)))
+        return Image.fromarray(np.asarray(jax.block_until_ready(pixels))[0])
 
     # ------------------------------------------------------------------
 

@@ -120,6 +120,31 @@ class InferenceEngine:
             self._lock.release()
 
     # ------------------------------------------------------------------
+    # Profiling (SURVEY.md §5.1: reference has wall-clock prints only; we
+    # add a jax.profiler trace endpoint on top of the same stats surface)
+    # ------------------------------------------------------------------
+
+    _trace_dir: Optional[str] = None
+
+    def start_trace(self, log_dir: str = "/tmp/qie_trace") -> Dict[str, Any]:
+        import jax
+
+        if self._trace_dir is not None:
+            raise RuntimeError(f"trace already running → {self._trace_dir}")
+        jax.profiler.start_trace(log_dir)
+        self._trace_dir = log_dir
+        return {"status": "tracing", "log_dir": log_dir}
+
+    def stop_trace(self) -> Dict[str, Any]:
+        import jax
+
+        if self._trace_dir is None:
+            raise RuntimeError("no trace running")
+        jax.profiler.stop_trace()
+        d, self._trace_dir = self._trace_dir, None
+        return {"status": "stopped", "log_dir": d}
+
+    # ------------------------------------------------------------------
 
     def health(self) -> Dict[str, Any]:
         mem = "N/A"

@@ -90,6 +90,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"detail": "Not Found"})
 
     def do_POST(self):
+        if self.path == "/profile/start" or self.path == "/profile/stop":
+            try:
+                if self.path.endswith("start"):
+                    self._send(200, self.engine.start_trace())
+                else:
+                    self._send(200, self.engine.stop_trace())
+            except RuntimeError as e:
+                self._send(409, {"detail": str(e)})
+            return
         if self.path != "/edit":
             self._send(404, {"detail": "Not Found"})
             return

@@ -1,0 +1,71 @@
+"""Orbax checkpoint round-trip + from_checkpoint + profiler endpoints."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.models import checkpoint as ckpt
+from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
+from qwen_image_edit_streamdiffusion_tpu.models import vae as vae_mod
+
+TINY_STREAM = StreamConfig(
+    width=64, height=64, vae_image_area=64 * 64, vl_image_area=32 * 32,
+    num_inference_steps=1, model_preset="tiny",
+)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_preset):
+    params = tfm.init(jax.random.PRNGKey(0), tiny_preset.model)
+    path = str(tmp_path / "tfm")
+    ckpt.save(path, params)
+    like = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0),
+                                           tiny_preset.model))
+    back = ckpt.load(path, like=like)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(back)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.dtype == y.dtype
+        np.testing.assert_array_equal(
+            np.asarray(x, np.float32), np.asarray(y, np.float32)
+        )
+
+
+def test_pipeline_from_checkpoint(tmp_path, tiny_preset):
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    src = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    tp, vp = str(tmp_path / "t"), str(tmp_path / "v")
+    ckpt.save(tp, src.tfm_params)
+    ckpt.save(vp, src.vae_params)
+    pipe = EditPipeline.from_checkpoint(tp, vp, preset="tiny",
+                                        config=TINY_STREAM)
+    img = imaging.make_test_image(64, 64, "circle")
+    a = src(img, "x", num_inference_steps=1, seed=42)
+    b = pipe(img, "x", num_inference_steps=1, seed=42)
+    np.testing.assert_array_equal(np.asarray(a.images[0]),
+                                  np.asarray(b.images[0]))
+
+
+def test_engine_trace_endpoints(tmp_path):
+    from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+        InferenceEngine,
+    )
+
+    eng = InferenceEngine(pipeline=None)
+    d = str(tmp_path / "trace")
+    out = eng.start_trace(d)
+    assert out["status"] == "tracing"
+    with pytest.raises(RuntimeError):
+        eng.start_trace(d)
+    out = eng.stop_trace()
+    assert out["status"] == "stopped"
+    with pytest.raises(RuntimeError):
+        eng.stop_trace()
+    assert os.path.isdir(d)
