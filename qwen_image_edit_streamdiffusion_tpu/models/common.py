@@ -48,6 +48,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         return int8_linear(
             x, QuantizedLinear(w_q=p["w_q"], scale=p["scale"], b=p.get("b"))
         )
+    if "w_q4" in p:  # int4 weight-only leaf
+        from qwen_image_edit_streamdiffusion_tpu.ops.int8 import int4_linear
+
+        return int4_linear(x, p)
     y = jnp.dot(x, p["w"], preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)

@@ -28,23 +28,31 @@ DEFAULT_QUANTIZE = frozenset({
 })
 
 
-def _quantize_leaf_dict(d: dict) -> dict:
-    q = quantize_weight(d["w"])
-    out = {"w_q": q.w_q, "scale": q.scale}
+def _quantize_leaf_dict(d: dict, bits: int = 8) -> dict:
+    if bits == 4:
+        from qwen_image_edit_streamdiffusion_tpu.ops.int8 import (
+            quantize_weight_int4,
+        )
+
+        out = quantize_weight_int4(d["w"])
+    else:
+        q = quantize_weight(d["w"])
+        out = {"w_q": q.w_q, "scale": q.scale}
     if "b" in d:
         out["b"] = d["b"]
     return out
 
 
 def quantize_transformer(
-    params: Any, include: FrozenSet[str] = DEFAULT_QUANTIZE
+    params: Any, include: FrozenSet[str] = DEFAULT_QUANTIZE, bits: int = 8
 ) -> Any:
-    """Return a new transformer param tree with int8 block linears."""
+    """Return a new transformer param tree with int8 (default) or int4
+    block linears (bits=4 ≈ the reference's NF4 rung, test_quantized.py:46-51)."""
 
     def walk(node, name=""):
         if isinstance(node, dict):
             if "w" in node and name in include and node["w"].ndim == 2:
-                return _quantize_leaf_dict(node)
+                return _quantize_leaf_dict(node, bits)
             return {k: walk(v, k) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             t = type(node)

@@ -46,12 +46,13 @@ def _spec_for_path(path) -> P:
     if not in_block:
         return P()
     if owner in _COL_PARALLEL:
-        if leaf in ("w", "w_q"):
+        if leaf in ("w", "w_q", "w_q4", "scale4"):
+            # int4 scale4 is (in_groups, out) → out-dim shard like the weight
             return P(None, MODEL_AXIS)
         if leaf in ("b", "scale"):  # int8 per-out-channel scale shards too
             return P(MODEL_AXIS)
     if owner in _ROW_PARALLEL:
-        if leaf in ("w", "w_q"):
+        if leaf in ("w", "w_q", "w_q4", "scale4"):
             return P(MODEL_AXIS, None)
         if leaf in ("b", "scale"):
             return P()

@@ -77,8 +77,68 @@ class RealtimePipeline:
         steps = self.config.num_inference_steps
         return max(1, steps // 2)
 
+    def _fused_frame_fn(self, kind: str, hw_in, zh: int, zw: int,
+                        cond_shapes, txt_len: int, steps: int, start: int):
+        """ONE jitted graph per frame: VAE encode → denoise (tail) → decode.
+
+        Per-frame Python overhead and device round-trips collapse to a
+        single dispatch — on a tunneled/remote accelerator each extra
+        dispatch costs tens of ms, which is exactly the budget the
+        reference's 10-20 fps target lives in (qwen_realtime.py:15).
+        kind: "key" (fresh noise, full schedule) | "temporal" (re-noise
+        prev latent, tail of schedule)."""
+        p = self.pipe
+        key = ("stream_fused", kind, hw_in, zh, zw, tuple(cond_shapes),
+               txt_len, steps, start)
+        if key in p._jit_cache:
+            return p._jit_cache[key]
+
+        enc = p._vae_encode_fn(hw_in)
+        dec = p._vae_decode_fn((zh, zw))
+        img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
+        run = p._denoise_fn(1, img_shapes, txt_len, steps, "none",
+                            start_step=start)
+        schedule = sched.make_schedule(steps, (zh // 2) * (zw // 2),
+                                       p.preset.scheduler)
+        sigma_start = schedule.sigmas[start]
+        mdt = jnp.dtype(p.preset.model.dtype)
+        zc = p.preset.vae.latent_channels
+        one = jnp.float32(1.0)
+
+        if kind == "key":
+
+            @jax.jit
+            def fused(tfm_p, vae_p, frame_u8, rng, txt, mask):
+                cond = enc(vae_p, frame_u8)
+                noise = jax.random.normal(rng, (1, zh, zw, zc), jnp.float32)
+                x0 = tfm.pack_latents(noise).astype(mdt)
+                final = run(tfm_p, x0, cond, txt, mask, txt, mask, one)
+                return dec(vae_p, final)
+        else:
+
+            @jax.jit
+            def fused(tfm_p, vae_p, frame_u8, prev, rng, ns, txt, mask):
+                cond = enc(vae_p, frame_u8)
+                k1, k2 = jax.random.split(rng)
+                prev32 = prev.astype(jnp.float32)
+                prev32 = prev32 + ns * jax.random.normal(
+                    k1, prev32.shape, jnp.float32
+                )
+                eps = jax.random.normal(k2, prev32.shape, jnp.float32)
+                x = sched.scale_noise(prev32, eps, sigma_start)
+                x0 = tfm.pack_latents(x).astype(mdt)
+                final = run(tfm_p, x0, cond, txt, mask, txt, mask, one)
+                return dec(vae_p, final)
+
+        p._jit_cache[key] = fused
+        return fused
+
     def process_frame(self, frame: Image.Image) -> Image.Image:
-        """Edit one camera frame (reference qwen_realtime.py:226-268)."""
+        """Edit one camera frame (reference qwen_realtime.py:226-268).
+
+        Keyframes with a negative prompt take the full CFG pipeline path;
+        everything else runs the single-dispatch fused graph.
+        """
         t0 = time.time()
         cfgc = self.config
         steps = cfgc.num_inference_steps
@@ -87,7 +147,7 @@ class RealtimePipeline:
             or self.prev_latent is None
         )
 
-        if self.is_keyframe:
+        if self.is_keyframe and self.negative_prompt is not None:
             res = self.pipe(
                 frame, self.prompt, negative_prompt=self.negative_prompt,
                 num_inference_steps=steps,
@@ -96,64 +156,47 @@ class RealtimePipeline:
             self.prev_latent = res.latents
             out = res.images[0]
         else:
-            out = self._temporal_frame(frame, steps)
+            out = self._fused_frame(frame, steps)
 
         self.frame_count += 1
         self.inference_times.append(time.time() - t0)
         return out
 
-    def _temporal_frame(self, frame: Image.Image, steps: int) -> Image.Image:
-        """Partial re-denoise from the cached latent."""
+    def _fused_frame(self, frame: Image.Image, steps: int) -> Image.Image:
+        """Single-dispatch frame: encode → denoise → decode in one graph."""
         p = self.pipe
         cfgc = self.config
-        refine = self._refine_steps()
-        start = steps - refine
-
         out_h, out_w, vae_images, vl_images = p._prepare_images(
             [frame], cfgc.height, cfgc.width
         )
         encode_prompt = (p.prompt_cache.encode if p.prompt_cache
                          else p.encoder.encode)
         emb = encode_prompt(self.prompt, vl_images)
-        model_dtype = jnp.dtype(p.preset.model.dtype)
-        txt = jnp.asarray(emb.embeds, model_dtype)[None]
+        mdt = jnp.dtype(p.preset.model.dtype)
+        txt = jnp.asarray(emb.embeds, mdt)[None]
         mask = jnp.asarray(emb.mask)[None]
-        cond_tokens, cond_shapes = p.encode_condition_latents(vae_images)
 
+        arr = vae_images[0]
+        frame_u8 = jnp.asarray(arr, jnp.uint8)[None]
+        hw_in = frame_u8.shape[1:3]
+        czh, czw = arr.shape[0] // 8, arr.shape[1] // 8
+        cond_shapes = [(1, czh // 2, czw // 2)]
         zh, zw = out_h // 8, out_w // 8
-        schedule = sched.make_schedule(
-            steps, (zh // 2) * (zw // 2), p.preset.scheduler
-        )
         key = frame_key(stream(key_from_seed(cfgc.seed), "temporal"),
                         self.frame_count)
-        # jitted temporal re-noise: jitter + forward-process to sigma[start]
-        # + pack, one dispatch (hot per-frame path)
-        tk = ("temporal_x0", self.prev_latent.shape)
-        if tk not in p._jit_cache:
-            @jax.jit
-            def prep(prev, rng, noise_strength, sigma):
-                k1, k2 = jax.random.split(rng)
-                prev32 = prev.astype(jnp.float32)
-                prev32 = prev32 + noise_strength * jax.random.normal(
-                    k1, prev32.shape, jnp.float32
-                )
-                eps = jax.random.normal(k2, prev32.shape, jnp.float32)
-                x = sched.scale_noise(prev32, eps, sigma)
-                return tfm.pack_latents(x).astype(model_dtype)
 
-            p._jit_cache[tk] = prep
-        x0 = p._jit_cache[tk](self.prev_latent, key,
-                              jnp.float32(cfgc.noise_strength),
-                              schedule.sigmas[start])
-
-        img_shapes = tuple([(1, zh // 2, zw // 2)] + cond_shapes)
-        run = p._denoise_fn(
-            batch=1, img_shapes=img_shapes, txt_len=txt.shape[1],
-            num_steps=steps, cfg_mode="none", start_step=start,
-        )
-        final = run(p.tfm_params, x0, cond_tokens, txt, mask, txt, mask,
-                    jnp.float32(1.0))
-        pixels, latents = p._vae_decode_fn((zh, zw))(p.vae_params, final)
+        if self.is_keyframe:
+            fn = self._fused_frame_fn("key", hw_in, zh, zw, cond_shapes,
+                                      txt.shape[1], steps, 0)
+            pixels, latents = fn(p.tfm_params, p.vae_params, frame_u8, key,
+                                 txt, mask)
+        else:
+            start = steps - self._refine_steps()
+            fn = self._fused_frame_fn("temporal", hw_in, zh, zw, cond_shapes,
+                                      txt.shape[1], steps, start)
+            pixels, latents = fn(p.tfm_params, p.vae_params, frame_u8,
+                                 self.prev_latent, key,
+                                 jnp.float32(cfgc.noise_strength), txt, mask)
         self.prev_latent = latents
         return Image.fromarray(np.asarray(jax.block_until_ready(pixels))[0])
 

@@ -107,3 +107,38 @@ def test_quantized_sharding_specs(tiny_preset):
     assert blk["attn"]["img_q"]["scale"] == P("model")
     assert blk["img_mlp"]["fc2"]["w_q"] == P("model", None)
     assert blk["img_mlp"]["fc2"]["scale"] == P()
+
+
+def test_int4_quantize_roundtrip():
+    from qwen_image_edit_streamdiffusion_tpu.ops.int8 import (
+        dequantize_int4,
+        quantize_weight_int4,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(7), (128, 64)) * 0.05
+    q = quantize_weight_int4(w)
+    assert q["w_q4"].shape == (64, 64) and q["w_q4"].dtype == jnp.uint8
+    deq = np.asarray(dequantize_int4(q["w_q4"], q["scale4"], jnp.float32))
+    # 4-bit symmetric: per-group error bounded by scale/2
+    scale_full = np.repeat(np.asarray(q["scale4"]), 64, axis=0)
+    assert (np.abs(deq - np.asarray(w)) <= scale_full * 0.5 + 1e-6).all()
+
+
+def test_int4_linear_dispatch_and_memory(tiny_preset):
+    cfg = tiny_preset.model
+    params = tfm.init(jax.random.PRNGKey(0), cfg)
+    q4 = quantize.quantize_transformer(params, bits=4)
+    blk = q4["blocks"][0]
+    assert "w_q4" in blk["attn"]["img_q"]
+    new = quantize.quantized_bytes(q4)
+    orig = quantize.quantized_bytes(params)
+    q8_bytes = quantize.quantized_bytes(quantize.quantize_transformer(params))
+    assert new < 0.6 * orig  # tiny preset: mod/embeds unquantized dominate
+    assert new < q8_bytes  # int4 strictly beats int8
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.joint_dim))
+    ropes = tfm.make_rope(cfg, [(1, 4, 4)], 8)
+    out = np.asarray(
+        tfm.forward(q4, cfg, img, txt, jnp.full((1,), 500.0), ropes,
+                    use_flash=False), np.float32)
+    assert np.isfinite(out).all()
