@@ -31,7 +31,7 @@ def main():
     preset_name = os.environ.get("QIE_BENCH_PRESET", "bench-2b")
     steps = int(os.environ.get("QIE_BENCH_STEPS", "2"))
     size = int(os.environ.get("QIE_BENCH_SIZE", "1024"))
-    runs = int(os.environ.get("QIE_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("QIE_BENCH_RUNS", "5"))
 
     from qwen_image_edit_streamdiffusion_tpu.core import imaging
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig

@@ -71,7 +71,9 @@ class VAEConfig:
     num_res_blocks: int = 2
     spatial_downsample: int = 8  # 2^(len(channel_multipliers)-1)
     eps: float = 1e-6
-    dtype: str = "float32"
+    # bf16 params/activations (reference loads the whole pipeline bf16,
+    # server.py:68); norms still accumulate in f32. Tests use f32.
+    dtype: str = "bfloat16"
     # Per-channel latent normalization (Wan2.1 published constants): the
     # pipeline uses z_norm = (z - mean) / std in place of a scalar
     # scaling_factor (reference reads vae.config.scaling_factor at
@@ -224,7 +226,7 @@ def _mk_presets():
                           joint_dim=48, axes_dims_rope=(8, 12, 12),
                           time_freq_dim=32),
         vae=VAEConfig(base_channels=8, channel_multipliers=(1, 2, 2, 2),
-                      num_res_blocks=1),
+                      num_res_blocks=1, dtype="float32"),
         scheduler=SchedulerConfig(),
         vl=VLConfig(hidden_size=48, num_layers=2, num_heads=4,
                     num_kv_heads=2, intermediate_size=96, vocab_size=512,

@@ -215,11 +215,13 @@ class EditPipeline:
             cfg = self.preset.vae
             mdt = jnp.dtype(self.preset.model.dtype)
 
+            vdt = jnp.dtype(cfg.dtype)
+
             @jax.jit
             def run(params, img_u8):
-                img = img_u8.astype(jnp.float32) / 127.5 - 1.0
+                img = (img_u8.astype(jnp.float32) / 127.5 - 1.0).astype(vdt)
                 z = vae_mod.encode(params, cfg, img)
-                return tfm.pack_latents(z).astype(mdt)
+                return tfm.pack_latents(z.astype(jnp.float32)).astype(mdt)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
@@ -233,12 +235,15 @@ class EditPipeline:
             cfg = self.preset.vae
             zh, zw = hw
 
+            vdt = jnp.dtype(cfg.dtype)
+
             @jax.jit
             def run(params, tokens):
                 z = tfm.unpack_latents(tokens.astype(jnp.float32), zh, zw)
-                x = vae_mod.decode(params, cfg, z)
-                x = jnp.clip((x * 0.5 + 0.5) * 255.0 + 0.5, 0.0, 255.0)
-                return x.astype(jnp.uint8), z
+                x = vae_mod.decode(params, cfg, z.astype(vdt))
+                x32 = x.astype(jnp.float32)
+                x32 = jnp.clip((x32 * 0.5 + 0.5) * 255.0 + 0.5, 0.0, 255.0)
+                return x32.astype(jnp.uint8), z
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
