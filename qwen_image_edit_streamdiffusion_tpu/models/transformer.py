@@ -187,6 +187,7 @@ def _joint_attention(
     ropes: RopeTables,
     txt_mask: Optional[jnp.ndarray],
     use_flash: bool,
+    mesh=None,
 ):
     nh = cfg.num_heads
     iq = _heads(linear(p["img_q"], img), nh)
@@ -217,7 +218,8 @@ def _joint_attention(
         img_ones = jnp.ones((b, img.shape[1]), dtype=bool)
         kv_mask = jnp.concatenate([txt_mask.astype(bool), img_ones], axis=1)
 
-    out = attention(q, k, v, kv_mask=kv_mask, use_flash=use_flash)
+    out = attention(q, k, v, kv_mask=kv_mask, use_flash=use_flash,
+                    mesh=mesh)
     out = _unheads(out)
     lt = txt.shape[1]
     txt_attn = linear(p["txt_out"], out[:, :lt])
@@ -234,6 +236,7 @@ def _block(
     ropes: RopeTables,
     txt_mask: Optional[jnp.ndarray],
     use_flash: bool,
+    mesh=None,
 ):
     img_mod = linear(p["img_mod"], temb_act)  # (B, 6D)
     txt_mod = linear(p["txt_mod"], temb_act)
@@ -243,7 +246,7 @@ def _block(
     img_n, img_gate1 = _modulate(img, img_mod1, cfg.eps)
     txt_n, txt_gate1 = _modulate(txt, txt_mod1, cfg.eps)
     img_attn, txt_attn = _joint_attention(
-        p["attn"], cfg, img_n, txt_n, ropes, txt_mask, use_flash
+        p["attn"], cfg, img_n, txt_n, ropes, txt_mask, use_flash, mesh
     )
     img = img + img_gate1.astype(img.dtype) * img_attn
     txt = txt + txt_gate1.astype(txt.dtype) * txt_attn
@@ -268,6 +271,7 @@ def forward(
     ropes: RopeTables,
     txt_mask: Optional[jnp.ndarray] = None,  # (B, L_txt) bool
     use_flash: bool = True,
+    mesh=None,  # tensor-parallel mesh: shard_maps the flash kernel over heads
 ) -> jnp.ndarray:
     """Velocity prediction for every image token: (B, L_img, out_channels).
 
@@ -284,7 +288,8 @@ def forward(
     temb_act = jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype)
 
     for blk in params["blocks"]:
-        img, txt = _block(blk, cfg, img, txt, temb_act, ropes, txt_mask, use_flash)
+        img, txt = _block(blk, cfg, img, txt, temb_act, ropes, txt_mask,
+                          use_flash, mesh)
 
     # AdaLayerNormContinuous head: scale first, then shift.
     cond = linear(params["norm_out"]["linear"], temb_act)

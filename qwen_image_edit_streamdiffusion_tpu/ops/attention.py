@@ -46,22 +46,74 @@ def _on_tpu() -> bool:
         return False
 
 
+def sharded_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention under tensor parallelism.
+
+    A pallas_call inside a GSPMD-sharded jit is an opaque custom call —
+    XLA would all-gather the operands and run it replicated, silently
+    discarding the TP decomposition. Attention is embarrassingly parallel
+    over heads (and over the cfg batch), so we shard_map the kernel:
+    each device runs the identical kernel on its local heads, zero
+    collectives inside.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention as fa
+
+    cfg_ax = None
+    if ("cfg" in mesh.axis_names and mesh.shape["cfg"] > 1
+            and q.shape[0] % mesh.shape["cfg"] == 0):
+        cfg_ax = "cfg"
+    qspec = P(cfg_ax, "model", None, None)
+    mspec = P(cfg_ax, None)
+    if kv_mask is None:
+        kv_mask = jnp.ones((q.shape[0], k.shape[2]), bool)
+
+    fn = jax.shard_map(
+        lambda q_, k_, v_, m_: fa.flash_attention(
+            q_, k_, v_, kv_mask=m_, interpret=interpret
+        ),
+        mesh=mesh,
+        in_specs=(qspec, qspec, qspec, mspec),
+        out_specs=qspec,
+        check_vma=False,
+    )
+    return fn(q, k, v, kv_mask)
+
+
+def _tp_active(mesh, q) -> bool:
+    return (mesh is not None and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+            and q.shape[1] % mesh.shape["model"] == 0)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
+    mesh=None,
 ) -> jnp.ndarray:
     """Joint-stream attention entry point used by the transformer.
 
     Routes to the Pallas TPU flash kernel when available (TPU backend,
-    shapes meet the kernel's tiling constraints); otherwise the XLA
-    reference path. Both paths are numerically f32-accumulated.
+    shapes meet the kernel's tiling constraints) — shard_mapped over heads
+    when a tensor-parallel mesh is active; otherwise the XLA reference
+    path. Both paths are numerically f32-accumulated.
     """
     if use_flash and _on_tpu():
         from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention
 
+        if _tp_active(mesh, q):
+            return sharded_flash_attention(q, k, v, kv_mask, mesh)
         if flash_attention.supported(q, k, v):
             return flash_attention.flash_attention(q, k, v, kv_mask=kv_mask)
     return reference_attention(q, k, v, kv_mask=kv_mask)

@@ -290,10 +290,15 @@ class EditPipeline:
         schedule = sched.make_schedule(num_steps, l_target, sched_cfg)
         ropes = tfm.make_rope(model_cfg, img_shapes, txt_len)
 
+        tp_mesh = self.mesh if (
+            self.mesh is not None and "model" in self.mesh.axis_names
+            and self.mesh.shape["model"] > 1
+        ) else None
+
         def model_call(params, x, cond_tokens, t, txt, mask):
             inp = jnp.concatenate([x, cond_tokens], axis=1)
             v = tfm.forward(params, model_cfg, inp, txt, t, ropes,
-                            txt_mask=mask, use_flash=use_flash)
+                            txt_mask=mask, use_flash=use_flash, mesh=tp_mesh)
             return v[:, :l_target]
 
         mesh = self.mesh

@@ -94,3 +94,24 @@ def test_mesh_validation():
         meshes.make_mesh(cfg_axis=3)  # 8 % 3 != 0
     m = meshes.make_mesh(2)
     assert m.shape == {"cfg": 2, "model": 4}
+
+
+def test_sharded_flash_attention_matches_reference(tiny):
+    """shard_map-wrapped Pallas flash kernel (interpret mode) under a TP
+    mesh must equal the unsharded reference attention."""
+    from qwen_image_edit_streamdiffusion_tpu.ops.attention import (
+        reference_attention,
+        sharded_flash_attention,
+    )
+
+    mesh = meshes.make_mesh(cfg_axis=2, model_axis=4)
+    b, h, lq, lk, d = 2, 4, 128, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, lq, d))
+    k = jax.random.normal(ks[1], (b, h, lk, d))
+    v = jax.random.normal(ks[2], (b, h, lk, d))
+    mask = jnp.asarray(np.random.default_rng(1).random((b, lk)) > 0.2)
+    ref = reference_attention(q, k, v, kv_mask=mask)
+    out = sharded_flash_attention(q, k, v, mask, mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
