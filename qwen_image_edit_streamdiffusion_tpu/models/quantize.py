@@ -18,14 +18,18 @@ import jax.numpy as jnp
 
 from qwen_image_edit_streamdiffusion_tpu.ops.int8 import quantize_weight
 
-# Linears worth quantizing: the big block-level matmuls. Embeddings, heads,
-# norms and modulation stay high-precision (modulation feeds scale/shift
-# directly — quantization there visibly hurts 2-step quality for ~3% of
-# params).
+# Linears worth quantizing: every block-level matmul, including the AdaLN
+# modulation projections (BitsAndBytes quantizes them too, and they are a
+# third of block params — needed to hit the reference's ~50% memory claim,
+# README.md:136). Embeddings, output head, and norms stay high-precision.
 DEFAULT_QUANTIZE = frozenset({
     "img_q", "img_k", "img_v", "txt_q", "txt_k", "txt_v",
-    "img_out", "txt_out", "fc1", "fc2",
+    "img_out", "txt_out", "fc1", "fc2", "img_mod", "txt_mod",
 })
+
+# Conservative subset if 2-step quality regresses on a real checkpoint:
+# leave the modulation projections dense.
+NO_MODULATION_QUANTIZE = frozenset(DEFAULT_QUANTIZE - {"img_mod", "txt_mod"})
 
 
 def _quantize_leaf_dict(d: dict, bits: int = 8) -> dict:

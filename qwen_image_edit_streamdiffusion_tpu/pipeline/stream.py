@@ -234,14 +234,17 @@ class RealtimePipeline:
         h = self.config.height or 512
         img = imaging.make_test_image(w, h, "gradient")
         times = []
+        out = None
         for i in range(num_frames):
             t0 = time.time()
-            self.process_frame(img)
+            out = self.process_frame(img)
             times.append(time.time() - t0)
         avg = float(np.mean(times))
         fps = 1.0 / avg if avg else 0.0
         print(f"[Benchmark] {num_frames} frames: {avg:.3f}s ± "
               f"{float(np.std(times)):.3f}s → {fps:.2f} fps")
+        if out is not None:  # parity: reference saves the last frame
+            out.save("benchmark_output.png")
         return fps
 
     def run_camera_loop(self, max_frames: Optional[int] = None) -> None:
@@ -274,9 +277,15 @@ class RealtimePipeline:
                 stats = self.get_stats()
                 if have_cv and cv2 is not None:
                     disp = np.asarray(out)[:, :, ::-1].copy()
-                    cv2.putText(disp, f"FPS: {stats.get('fps', 0):.1f}",
-                                (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 1,
-                                (0, 255, 0), 2)
+                    for j, line in enumerate([
+                        f"FPS: {stats.get('fps', 0):.1f}",
+                        f"Steps: {self.config.num_inference_steps}",
+                        f"Frame: {self.frame_count}",
+                    ]):
+                        cv2.putText(disp, line, (10, 30 + 30 * j),
+                                    cv2.FONT_HERSHEY_SIMPLEX, 1,
+                                    (0, 255, 0), 2)
+                    cv2.imshow("Original", np.asarray(frame)[:, :, ::-1])
                     cv2.imshow("Qwen Real-time Edit (TPU)", disp)
                     if cv2.waitKey(1) & 0xFF == ord("q"):
                         break

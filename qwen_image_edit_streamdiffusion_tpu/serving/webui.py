@@ -155,6 +155,16 @@ def create_ui(engine=None, preset: str = "qwen-image-edit-2509"):
             out2 = gr.Image(label="Edited")
             prompt2 = gr.Textbox(value="Transform into oil painting style",
                                  label="Prompt")
+            gr.Examples(  # example prompts (reference webui layout)
+                examples=[
+                    ["Transform into oil painting style"],
+                    ["Make it look like a watercolor painting"],
+                    ["Convert to anime style"],
+                    ["Turn this into a cyberpunk scene with neon lights"],
+                    ["Make it look like a pencil sketch"],
+                ],
+                inputs=[prompt2],
+            )
             steps2 = gr.Slider(1, 8, value=4, step=1, label="Steps")
             t2 = gr.Textbox(label="Inference time")
             gr.Button("Edit").click(process, [up, prompt2, steps2], [out2, t2])

@@ -64,7 +64,7 @@ def test_quantize_transformer_tree_and_memory(tiny_preset):
     qparams = quantize.quantize_transformer(params)
     blk = qparams["blocks"][0]
     assert "w_q" in blk["attn"]["img_q"]
-    assert "w" in blk["img_mod"]  # modulation not quantized
+    assert "w_q" in blk["img_mod"]  # modulation quantized too (~50% target)
     assert "w" in qparams["proj_out"]  # head untouched
     # bf16 → int8 on the block linears roughly halves their bytes
     orig = quantize.quantized_bytes(params)
