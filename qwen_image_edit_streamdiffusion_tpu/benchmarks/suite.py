@@ -264,9 +264,11 @@ def bench_stream(args):
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
     rt.precompute_conditions("Transform into oil painting style")
     rt.warmup(runs=2)
-    fps = rt.run_benchmark(num_frames=args.runs * 4)
-    print(f"  stream fps: {fps:.2f} (reference achieved ~0.4 fps 1-step on "
-          "A100; aspirational target 10-20, qwen_realtime.py:15)")
+    fps_seq = rt.run_benchmark(num_frames=args.runs * 4, pipelined=False)
+    fps_pipe = rt.run_benchmark(num_frames=args.runs * 4, pipelined=True)
+    print(f"  stream fps: {fps_seq:.2f} sequential, {fps_pipe:.2f} pipelined "
+          "(reference achieved ~0.4 fps 1-step on A100; aspirational "
+          "target 10-20, qwen_realtime.py:15)")
 
 
 BENCHES = {

@@ -1,0 +1,58 @@
+"""Engine single-flight semantics under real thread races + bench suite
+smoke."""
+
+import threading
+
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import EditPipeline
+from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+    EngineBusy,
+    InferenceEngine,
+)
+
+TINY_STREAM = StreamConfig(
+    width=64, height=64, vae_image_area=64 * 64, vl_image_area=32 * 32,
+    num_inference_steps=1, model_preset="tiny",
+)
+
+
+def test_concurrent_edits_exactly_one_winner():
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=1)
+    b64 = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    engine.edit({"image": b64})  # compile first
+
+    n = 6
+    barrier = threading.Barrier(n)
+    results = []
+
+    def worker():
+        barrier.wait()
+        try:
+            engine.edit({"image": b64, "prompt": "race"})
+            results.append("ok")
+        except EngineBusy:
+            results.append("busy")
+
+    threads = [threading.Thread(target=worker) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # the atomic claim admits at least one winner and rejects the rest
+    # (no corrupted state, no double execution)
+    assert results.count("ok") >= 1
+    assert results.count("ok") + results.count("busy") == n
+    assert engine.total_requests == 1 + results.count("ok")
+
+
+def test_bench_suite_entrypoints_run():
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import suite
+
+    suite.main(["compiled", "--preset", "tiny", "--size", "64",
+                "--steps", "1", "--runs", "1"])
+    suite.main(["cache", "--preset", "tiny", "--size", "64",
+                "--steps", "1", "--runs", "1"])
