@@ -25,15 +25,26 @@ from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
 from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import EditPipeline
 
 
+def _fetch(r):
+    """Force a real device→host sync. On tunneled/async platforms
+    block_until_ready can return before execution completes; fetching a
+    leaf is the only reliable barrier."""
+    if r is None:
+        return
+    leaves = jax.tree_util.tree_leaves(r)
+    if leaves:
+        np.asarray(leaves[0])
+
+
 def _t(label, fn, n=3):
-    fn()  # warm
+    _fetch(fn())  # warm
     ts = []
     for _ in range(n):
         t0 = time.time()
-        r = fn()
-        jax.block_until_ready(r) if r is not None else None
+        _fetch(fn())
         ts.append(time.time() - t0)
-    print(f"  {label:<28} {min(ts) * 1000:8.1f} ms (min of {n})")
+    print(f"  {label:<28} {min(ts) * 1000:8.1f} ms (min of {n}, "
+          "incl. result fetch)")
     return min(ts)
 
 

@@ -119,3 +119,27 @@ def test_encoder_plugs_into_pipeline(tiny_preset):
                num_inference_steps=1)
     assert res.images[0].size == (64, 64)
     assert np.isfinite(np.asarray(res.images[0], np.float32)).all()
+
+
+def test_mrope_sections_use_correct_coordinates(tiny_preset):
+    # sections (2,2,2): freqs 0-1 follow t, 2-3 follow h, 4-5 follow w
+    cfg = tiny_preset.vl
+    pos_t = np.array([[5], [0], [0]])  # only t nonzero
+    pos_h = np.array([[0], [5], [0]])
+    pos_w = np.array([[0], [0], [5]])
+    hd = cfg.hidden_size // cfg.num_heads
+    half = hd // 2
+    ct, st = _mrope_tables(cfg, pos_t)
+    ch, sh = _mrope_tables(cfg, pos_h)
+    cw, sw = _mrope_tables(cfg, pos_w)
+    # sin==0 exactly where the section's coordinate is 0
+    assert (np.abs(st[0, :2]) > 0).all()  # t section rotated
+    np.testing.assert_array_equal(st[0, 2:half], 0.0)
+    np.testing.assert_array_equal(sh[0, :2], 0.0)
+    assert (np.abs(sh[0, 2:4]) > 0).all()  # h section rotated
+    np.testing.assert_array_equal(sh[0, 4:half], 0.0)
+    np.testing.assert_array_equal(sw[0, :4], 0.0)
+    assert (np.abs(sw[0, 4:half]) > 0).all()  # w section rotated
+    # duplicated halves (rotate-half convention)
+    np.testing.assert_allclose(ct[0, :half], ct[0, half:])
+    np.testing.assert_allclose(st[0, :half], st[0, half:])
