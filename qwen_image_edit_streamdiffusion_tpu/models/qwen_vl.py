@@ -467,14 +467,31 @@ class QwenVLEncoder:
 
         # M-RoPE positions: vision spans interleave text
         pos = _positions_from_ids(cfg, ids, grids)
+
+        # Bucket the sequence length (pad + mask) so prompt-length changes
+        # never retrace the LM graph — on TPU a retrace costs minutes
+        # (SURVEY.md §7.3 item 3).
+        n_real = len(ids)
+        bucket = 32
+        l = max(bucket, -(-n_real // bucket) * bucket)
+        if l > n_real:
+            pad = l - n_real
+            embeds = jnp.concatenate(
+                [embeds, jnp.zeros((pad, embeds.shape[1]), embeds.dtype)]
+            )
+            last = pos[:, -1:]
+            pos = np.concatenate(
+                [pos, last + np.arange(1, pad + 1)[None, :]], axis=1
+            )
+        attn_mask = np.zeros((l,), bool)
+        attn_mask[:n_real] = True
         cos_np, sin_np = _mrope_tables(cfg, pos)
 
-        l = len(ids)
         hidden = self._lm_fn(l)(
             self.params["lm"], embeds, jnp.asarray(cos_np),
-            jnp.asarray(sin_np), jnp.ones((l,), bool)
+            jnp.asarray(sin_np), jnp.asarray(attn_mask)
         )
-        out = np.asarray(hidden[drop_len:], np.float32)
+        out = np.asarray(hidden[drop_len:n_real], np.float32)
 
         out = out[: self.max_len]
         n = out.shape[0]

@@ -143,3 +143,10 @@ def test_mrope_sections_use_correct_coordinates(tiny_preset):
     # duplicated halves (rotate-half convention)
     np.testing.assert_allclose(ct[0, :half], ct[0, half:])
     np.testing.assert_allclose(st[0, :half], st[0, half:])
+
+
+def test_prompt_length_does_not_retrace(enc):
+    enc.encode("one two three")
+    n0 = len(enc._jit_cache)
+    enc.encode("a different number of tokens here ok")  # same 32-bucket
+    assert len(enc._jit_cache) == n0, "LM retraced on prompt-length change"
