@@ -78,7 +78,8 @@ class RealtimePipeline:
         return max(1, steps // 2)
 
     def _fused_frame_fn(self, kind: str, hw_in, zh: int, zw: int,
-                        cond_shapes, txt_len: int, steps: int, start: int):
+                        cond_shapes, txt_len: int, steps: int, start: int,
+                        use_cfg: bool = False):
         """ONE jitted graph per frame: VAE encode → denoise (tail) → decode.
 
         Per-frame Python overhead and device round-trips collapse to a
@@ -86,49 +87,51 @@ class RealtimePipeline:
         dispatch costs tens of ms, which is exactly the budget the
         reference's 10-20 fps target lives in (qwen_realtime.py:15).
         kind: "key" (fresh noise, full schedule) | "temporal" (re-noise
-        prev latent, tail of schedule)."""
+        prev latent, tail of schedule). use_cfg adds the batched cond+uncond
+        pass (the reference realtime path always runs true CFG,
+        qwen_realtime.py:250-253)."""
         p = self.pipe
         key = ("stream_fused", kind, hw_in, zh, zw, tuple(cond_shapes),
-               txt_len, steps, start)
+               txt_len, steps, start, use_cfg)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
         enc = p._vae_encode_fn(hw_in)
         dec = p._vae_decode_fn((zh, zw))
         img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
-        run = p._denoise_fn(1, img_shapes, txt_len, steps, "none",
+        run = p._denoise_fn(1, img_shapes, txt_len, steps,
+                            "batched" if use_cfg else "none",
                             start_step=start)
         schedule = sched.make_schedule(steps, (zh // 2) * (zw // 2),
                                        p.preset.scheduler)
         sigma_start = schedule.sigmas[start]
         mdt = jnp.dtype(p.preset.model.dtype)
         zc = p.preset.vae.latent_channels
-        one = jnp.float32(1.0)
 
-        if kind == "key":
+        def make_x0_key(rng, prev, ns):
+            noise = jax.random.normal(rng, (1, zh, zw, zc), jnp.float32)
+            return tfm.pack_latents(noise).astype(mdt)
 
-            @jax.jit
-            def fused(tfm_p, vae_p, frame_u8, rng, txt, mask):
-                cond = enc(vae_p, frame_u8)
-                noise = jax.random.normal(rng, (1, zh, zw, zc), jnp.float32)
-                x0 = tfm.pack_latents(noise).astype(mdt)
-                final = run(tfm_p, x0, cond, txt, mask, txt, mask, one)
-                return dec(vae_p, final)
-        else:
+        def make_x0_temporal(rng, prev, ns):
+            k1, k2 = jax.random.split(rng)
+            prev32 = prev.astype(jnp.float32)
+            prev32 = prev32 + ns * jax.random.normal(
+                k1, prev32.shape, jnp.float32
+            )
+            eps = jax.random.normal(k2, prev32.shape, jnp.float32)
+            x = sched.scale_noise(prev32, eps, sigma_start)
+            return tfm.pack_latents(x).astype(mdt)
 
-            @jax.jit
-            def fused(tfm_p, vae_p, frame_u8, prev, rng, ns, txt, mask):
-                cond = enc(vae_p, frame_u8)
-                k1, k2 = jax.random.split(rng)
-                prev32 = prev.astype(jnp.float32)
-                prev32 = prev32 + ns * jax.random.normal(
-                    k1, prev32.shape, jnp.float32
-                )
-                eps = jax.random.normal(k2, prev32.shape, jnp.float32)
-                x = sched.scale_noise(prev32, eps, sigma_start)
-                x0 = tfm.pack_latents(x).astype(mdt)
-                final = run(tfm_p, x0, cond, txt, mask, txt, mask, one)
-                return dec(vae_p, final)
+        make_x0 = make_x0_key if kind == "key" else make_x0_temporal
+
+        @jax.jit
+        def fused(tfm_p, vae_p, frame_u8, prev, rng, ns, txt, mask,
+                  neg_txt, neg_mask, cfg_scale):
+            cond = enc(vae_p, frame_u8)
+            x0 = make_x0(rng, prev, ns)
+            final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
+                        cfg_scale)
+            return dec(vae_p, final)
 
         p._jit_cache[key] = fused
         return fused
@@ -147,17 +150,7 @@ class RealtimePipeline:
             or self.prev_latent is None
         )
 
-        if self.is_keyframe and self.negative_prompt is not None:
-            res = self.pipe(
-                frame, self.prompt, negative_prompt=self.negative_prompt,
-                num_inference_steps=steps,
-                seed=cfgc.seed + self.frame_count,
-            )
-            self.prev_latent = res.latents
-            out = res.images[0]
-        else:
-            out = self._fused_frame(frame, steps)
-
+        out = self._fused_frame(frame, steps)
         self.frame_count += 1
         self.inference_times.append(time.time() - t0)
         return out
@@ -194,6 +187,14 @@ class RealtimePipeline:
         mdt = jnp.dtype(p.preset.model.dtype)
         txt = jnp.asarray(emb.embeds, mdt)[None]
         mask = jnp.asarray(emb.mask)[None]
+        use_cfg = (self.negative_prompt is not None
+                   and cfgc.true_cfg_scale > 1.0)
+        if use_cfg:
+            nemb = encode_prompt(self.negative_prompt, vl_images)
+            neg_txt = jnp.asarray(nemb.embeds, mdt)[None]
+            neg_mask = jnp.asarray(nemb.mask)[None]
+        else:
+            neg_txt, neg_mask = txt, mask
 
         arr = vae_images[0]
         frame_u8 = jnp.asarray(arr, jnp.uint8)[None]
@@ -204,18 +205,19 @@ class RealtimePipeline:
         key = frame_key(stream(key_from_seed(cfgc.seed), "temporal"),
                         self.frame_count)
 
-        if self.is_keyframe:
-            fn = self._fused_frame_fn("key", hw_in, zh, zw, cond_shapes,
-                                      txt.shape[1], steps, 0)
-            pixels, latents = fn(p.tfm_params, p.vae_params, frame_u8, key,
-                                 txt, mask)
-        else:
-            start = steps - self._refine_steps()
-            fn = self._fused_frame_fn("temporal", hw_in, zh, zw, cond_shapes,
-                                      txt.shape[1], steps, start)
-            pixels, latents = fn(p.tfm_params, p.vae_params, frame_u8,
-                                 self.prev_latent, key,
-                                 jnp.float32(cfgc.noise_strength), txt, mask)
+        kind = "key" if self.is_keyframe else "temporal"
+        start = 0 if self.is_keyframe else steps - self._refine_steps()
+        fn = self._fused_frame_fn(kind, hw_in, zh, zw, cond_shapes,
+                                  txt.shape[1], steps, start, use_cfg)
+        prev = self.prev_latent
+        if prev is None:  # keyframe-only placeholder (unused by "key" path)
+            prev = jnp.zeros((1, zh, zw, p.preset.vae.latent_channels),
+                             jnp.float32)
+        pixels, latents = fn(
+            p.tfm_params, p.vae_params, frame_u8, prev, key,
+            jnp.float32(cfgc.noise_strength), txt, mask, neg_txt, neg_mask,
+            jnp.float32(cfgc.true_cfg_scale),
+        )
         self.prev_latent = latents
         return pixels
 

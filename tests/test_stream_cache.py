@@ -95,3 +95,19 @@ def test_pipeline_prompt_cache_wired():
     p.process_frame(frame)
     stats = p.pipe.prompt_cache.stats()
     assert stats["hits"] >= 1, f"prompt cache never hit: {stats}"
+
+
+def test_stream_with_true_cfg():
+    p = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+    p.precompute_conditions("oil painting", negative_prompt="blurry")
+    frame = imaging.make_test_image(64, 64, "gradient")
+    outs = [p.process_frame(frame) for _ in range(4)]  # key + temporal w/ CFG
+    for o in outs:
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+    # CFG changes output vs cond-only
+    q = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+    q.precompute_conditions("oil painting")
+    o2 = q.process_frame(frame)
+    assert np.abs(
+        np.asarray(outs[0], np.int16) - np.asarray(o2, np.int16)
+    ).max() > 0
