@@ -35,6 +35,9 @@ class InferenceEngine:
     pipeline: Optional[Any] = None  # EditPipeline
     input_size: int = 512  # reference resizes inputs to 512² (server.py:132)
     default_steps: int = 2
+    # False (reference parity): concurrent requests get 429. True: requests
+    # queue on the lock and run serially (set via QIE_QUEUE=1 in serving).
+    queue_requests: bool = False
     _lock: threading.Lock = field(default_factory=threading.Lock)
     total_requests: int = 0
     last_elapsed: Optional[float] = None
@@ -77,7 +80,7 @@ class InferenceEngine:
         """
         if self.pipeline is None:
             raise ModelNotLoaded("Model not loaded")
-        if not self._lock.acquire(blocking=False):
+        if not self._lock.acquire(blocking=self.queue_requests):
             raise EngineBusy("Server is busy processing another request")
         try:
             start = time.time()

@@ -207,6 +207,7 @@ def main(argv=None):
         args.preset, config=config,
         warmup_runs=0 if args.no_warmup else 1,
     )
+    engine.queue_requests = os.environ.get("QIE_QUEUE", "") == "1"
     print(f"Ready. Serving on http://{args.host}:{args.port} "
           f"(endpoints: / /health /edit; browser UI at /ui)")
     make_server(engine, args.host, args.port).serve_forever()

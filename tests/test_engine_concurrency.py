@@ -56,3 +56,26 @@ def test_bench_suite_entrypoints_run():
                 "--steps", "1", "--runs", "1"])
     suite.main(["cache", "--preset", "tiny", "--size", "64",
                 "--steps", "1", "--runs", "1"])
+
+
+def test_queue_mode_serializes_all():
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=1,
+                             queue_requests=True)
+    b64 = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    engine.edit({"image": b64})
+
+    n = 4
+    results = []
+
+    def worker():
+        engine.edit({"image": b64})
+        results.append("ok")
+
+    threads = [threading.Thread(target=worker) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("ok") == n  # nobody got a 429
+    assert engine.total_requests == n + 1
