@@ -31,16 +31,21 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
+                  num_heads):
     """One (batch·head, q-block) program: online softmax over k blocks.
 
-    q_ref: (1, bq, D); k_ref/v_ref: (1, Lk, D); mask_ref: (1, Lk) int8;
-    o_ref: (1, bq, D).
+    q_ref: (1, bq, D); k_ref/v_ref: (1, Lk, D); o_ref: (1, bq, D);
+    mask_ref: the FULL (B, Lk) int8 mask — a (1, Lk) block would violate
+    the TPU tiling rule (second-to-last block dim must be 8-divisible or
+    equal the array dim) whenever B > 1, so each program takes the whole
+    (tiny) mask and row-indexes by batch = program // num_heads.
     """
     bq = q_ref.shape[1]
     d = q_ref.shape[2]
     lk = k_ref.shape[1]
     nk = lk // block_k
+    batch_row = pl.program_id(0) // num_heads
 
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
 
@@ -53,7 +58,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        mask_blk = mask_ref[0, pl.ds(j * block_k, block_k)]  # (bk,)
+        # int8 sublane loads can't use a dynamic row index (Mosaic needs a
+        # provable multiple-of-4); load all B rows and select arithmetically
+        mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]  # (B, bk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, mask_all.shape, 0)
+        mask_blk = jnp.max(
+            jnp.where(rows == batch_row, mask_all.astype(jnp.int32), 0),
+            axis=0,
+        )  # (bk,)
         s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -130,7 +142,8 @@ def flash_attention(
     scale = d ** -0.5
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=bk),
+        functools.partial(_flash_kernel, scale=scale, block_k=bk,
+                          num_heads=h),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -140,7 +153,8 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p), lambda bh, qi: (bh // h, 0),
+            # full (B, Lk) mask in every program (see kernel docstring)
+            pl.BlockSpec((b, lk_p), lambda bh, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
