@@ -450,42 +450,58 @@ class QwenVLEncoder:
         tail_ids = [IM_END, IM_START] + tok.encode("assistant")
 
         ids: List[int] = list(pre_ids)
-        for span in img_id_spans:
-            ids += span
-        ids += prompt_ids + tail_ids
-
-        # embeddings: text from the table, image pads replaced by vision
-        embed_table = self.params["lm"]["embed"]
-        embeds = jnp.asarray(embed_table)[np.asarray(ids)]
+        vision_starts: List[int] = []
         cursor = len(pre_ids)
-        for vt, span in zip(vision_tokens, img_id_spans):
-            start = cursor + 1  # after VISION_START
-            embeds = embeds.at[start:start + vt.shape[0]].set(
-                vt.astype(embeds.dtype)
-            )
+        for span in img_id_spans:
+            vision_starts.append(cursor + 1)  # after VISION_START
+            ids += span
             cursor += len(span)
+        ids += prompt_ids + tail_ids
 
         # M-RoPE positions: vision spans interleave text
         pos = _positions_from_ids(cfg, ids, grids)
 
         # Bucket the sequence length (pad + mask) so prompt-length changes
-        # never retrace the LM graph — on TPU a retrace costs minutes
-        # (SURVEY.md §7.3 item 3).
+        # never retrace ANY graph — on TPU a retrace costs minutes
+        # (SURVEY.md §7.3 item 3). All padding happens host-side in numpy;
+        # embedding assembly below is one jitted dispatch.
         n_real = len(ids)
         bucket = 32
         l = max(bucket, -(-n_real // bucket) * bucket)
+        ids_padded = np.zeros((l,), np.int32)
+        ids_padded[:n_real] = np.asarray(ids, np.int32)
         if l > n_real:
-            pad = l - n_real
-            embeds = jnp.concatenate(
-                [embeds, jnp.zeros((pad, embeds.shape[1]), embeds.dtype)]
-            )
             last = pos[:, -1:]
             pos = np.concatenate(
-                [pos, last + np.arange(1, pad + 1)[None, :]], axis=1
+                [pos, last + np.arange(1, l - n_real + 1)[None, :]], axis=1
             )
         attn_mask = np.zeros((l,), bool)
         attn_mask[:n_real] = True
         cos_np, sin_np = _mrope_tables(cfg, pos)
+
+        # jitted assembly: table gather + vision-token splice (static starts
+        # per template structure, so the graph is cached per bucket)
+        akey = ("assemble", l, tuple(vision_starts),
+                tuple(vt.shape for vt in vision_tokens))
+        if akey not in self._jit_cache:
+            starts = tuple(vision_starts)
+
+            @jax.jit
+            def assemble(table, ids_arr, *vts):
+                # clip (not NaN-fill) out-of-range ids: real checkpoints
+                # cover the special ids; tiny test vocabs don't
+                emb = jnp.take(table, ids_arr, axis=0, mode="clip")
+                for s, vt in zip(starts, vts):
+                    emb = jax.lax.dynamic_update_slice(
+                        emb, vt.astype(emb.dtype), (s, 0)
+                    )
+                return emb
+
+            self._jit_cache[akey] = assemble
+        embeds = self._jit_cache[akey](
+            self.params["lm"]["embed"], jnp.asarray(ids_padded),
+            *vision_tokens
+        )
 
         hidden = self._lm_fn(l)(
             self.params["lm"], embeds, jnp.asarray(cos_np),
