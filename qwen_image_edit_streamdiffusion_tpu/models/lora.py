@@ -18,7 +18,7 @@ w(in,out) += scale · Aᵀ(in,r) @ Bᵀ(r,out), scale = alpha/r (alpha from the
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import Any, FrozenSet
 
-import jax.numpy as jnp
-
 from qwen_image_edit_streamdiffusion_tpu.ops.int8 import quantize_weight
 
 # Linears worth quantizing: every block-level matmul, including the AdaLN

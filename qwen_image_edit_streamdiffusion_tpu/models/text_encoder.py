@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
-from typing import List, NamedTuple, Optional, Protocol, Sequence
+from typing import List, NamedTuple, Protocol, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ slices ``weight[:, :, -1]`` of each temporal kernel).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

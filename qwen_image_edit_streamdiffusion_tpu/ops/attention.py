@@ -11,7 +11,6 @@ Layout: (batch, heads, seq, head_dim) throughout.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

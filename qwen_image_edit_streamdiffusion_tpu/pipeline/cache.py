@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from collections import OrderedDict
-from typing import Any, Generic, Hashable, Optional, Sequence, Tuple, TypeVar
+from typing import Generic, Hashable, Optional, Sequence, Tuple, TypeVar
 
 import numpy as np
 

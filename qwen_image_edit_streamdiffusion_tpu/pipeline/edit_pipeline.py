@@ -29,7 +29,6 @@ guidance no-op for this model family), true_cfg_scale, seed`` → result with
 
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple

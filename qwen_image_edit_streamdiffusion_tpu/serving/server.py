@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 

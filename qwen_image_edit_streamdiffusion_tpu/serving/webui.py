@@ -16,8 +16,6 @@ Two implementations of the reference's UI surface:
 
 from __future__ import annotations
 
-from typing import Optional
-
 INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>Qwen Image Edit (TPU)</title>
 <style>
