@@ -222,9 +222,18 @@ def _on_tpu() -> bool:
 
 def int8_linear(x: jnp.ndarray, q: QuantizedLinear,
                 use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Quantized replacement for ``common.linear``: (..., in) → (..., out)."""
+    """Quantized replacement for ``common.linear``: (..., in) → (..., out).
+
+    Default path is XLA (row-wise activation quant + native int8 dot):
+    measured end-to-end on v5e it holds within ~6% of bf16 at 50% weight
+    memory, while the current fused Pallas kernel loses ~25% to redundant
+    per-n-block activation quantization (round-2 rework). Set
+    QIE_INT8_PALLAS=1 to use the Pallas kernel.
+    """
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        import os
+
+        use_pallas = _on_tpu() and os.environ.get("QIE_INT8_PALLAS") == "1"
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if use_pallas:
