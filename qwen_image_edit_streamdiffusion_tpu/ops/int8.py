@@ -116,7 +116,155 @@ def int8_matmul_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused kernel
+# Pallas kernels v2: quantize-once + int8-resident GEMM
+# ---------------------------------------------------------------------------
+
+
+def _quantize_rows_kernel(x_ref, xq_ref, scale_ref):
+    """Row-wise symmetric int8 quantization of one (bm, K) block."""
+    x = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    xq_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    scale_ref[:] = scale
+
+
+def quantize_rows_pallas(x: jnp.ndarray, block_m: int = 256,
+                         interpret: bool = False):
+    """(M, K) float → ((M, K) int8, (M, 1) f32 scales), one pass."""
+    m, k = x.shape
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    pad = (-m) % bm
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    mp = xp.shape[0]
+    xq, scale = pl.pallas_call(
+        _quantize_rows_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, k), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ),
+        grid=(mp // bm,),
+        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp)
+    return xq[:m], scale[:m]
+
+
+def _int8_gemm_v2_kernel(xq_ref, xscale_ref, wq_ref, wscale_ref, o_ref,
+                         acc_ref):
+    """Grid (M/bm, N/bn, K/bk). Pure int8×int8→int32 MXU accumulation —
+    scales applied once in the epilogue (exact: int32 never overflows for
+    K ≤ 2^17 at |q|≤127).
+
+    xq_ref: (bm, bk) int8; xscale_ref: (bm, 1) f32; wq_ref: (bk, bn) int8;
+    wscale_ref: (1, bn) f32; acc_ref: (bm, bn) int32 scratch.
+    """
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        xq_ref[:], wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        out = acc_ref[:].astype(jnp.float32)
+        out = out * xscale_ref[:] * wscale_ref[0, :][None, :]
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret", "out_dtype"))
+def int8_matmul_pallas_v2(
+    x_q: jnp.ndarray,
+    x_scale: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Pre-quantized GEMM: x_q (M,K) int8 · w_q (K,N) int8 → (M,N) out_dtype.
+
+    Reads are int8 (half the bandwidth of bf16 x), the MXU runs its 2×
+    int8 path, and the accumulator stays int32 until one f32 epilogue.
+    """
+    m, k = x_q.shape
+    n = w_q.shape[1]
+    bm = min(block_m, max(32, 1 << (m - 1).bit_length()))
+    bn = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (k - 1).bit_length()))
+
+    def pad(a, axis, mult):
+        p = (-a.shape[axis]) % mult
+        if p == 0:
+            return a
+        w = [(0, 0)] * a.ndim
+        w[axis] = (0, p)
+        return jnp.pad(a, w)
+
+    xp = pad(pad(x_q, 0, bm), 1, bk)
+    sp_x = pad(x_scale.astype(jnp.float32), 0, bm)
+    wp = pad(pad(w_q, 0, bk), 1, bn)
+    sp_w = pad(w_scale.reshape(1, -1).astype(jnp.float32), 1, bn)
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+
+    out = pl.pallas_call(
+        _int8_gemm_v2_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, sp_x, wp, sp_w)
+    return out[:m, :n]
+
+
+def int8_linear_v2(x: jnp.ndarray, q: QuantizedLinear,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Quantize-once + int8-resident GEMM (Pallas v2 path)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    x_q, x_scale = quantize_rows_pallas(x2, interpret=interpret)
+    out = int8_matmul_pallas_v2(x_q, x_scale, q.w_q, q.scale,
+                                interpret=interpret, out_dtype=x.dtype)
+    if q.b is not None:
+        out = out + q.b.astype(out.dtype)
+    return out.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel (v1 — single pass, per-(row, k-block) scales)
 # ---------------------------------------------------------------------------
 
 
@@ -234,12 +382,8 @@ def int8_linear(x: jnp.ndarray, q: QuantizedLinear,
         import os
 
         use_pallas = _on_tpu() and os.environ.get("QIE_INT8_PALLAS") == "1"
+    if use_pallas:
+        return int8_linear_v2(x, q)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if use_pallas:
-        out = int8_matmul_pallas(x2, q.w_q, q.scale)
-        if q.b is not None:
-            out = out + q.b.astype(out.dtype)
-    else:
-        out = int8_matmul_xla(x2, q)
-    return out.reshape(*lead, -1)
+    return int8_matmul_xla(x2, q).reshape(*lead, -1)

@@ -142,3 +142,21 @@ def test_int4_linear_dispatch_and_memory(tiny_preset):
         tfm.forward(q4, cfg, img, txt, jnp.full((1,), 500.0), ropes,
                     use_flash=False), np.float32)
     assert np.isfinite(out).all()
+
+
+def test_pallas_v2_matches_xla():
+    from qwen_image_edit_streamdiffusion_tpu.ops.int8 import (
+        int8_linear_v2,
+        int8_matmul_xla,
+        quantize_weight,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (100, 256))
+    w = jax.random.normal(jax.random.PRNGKey(9), (256, 200)) * 0.05
+    q = quantize_weight(w)
+    ref = np.asarray(int8_matmul_xla(x, q))
+    out = np.asarray(int8_linear_v2(x, q, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    # identical quantization scheme → near-identical results
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 5e-3, f"v2 deviates from XLA reference: {rel}"
