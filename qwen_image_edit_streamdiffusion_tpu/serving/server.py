@@ -201,10 +201,23 @@ def main(argv=None):
         width=int(size) if size else None,
         height=int(size) if size else None,
     )
+    # Multi-chip: tensor-parallel over all local devices (the full 20B
+    # preset requires it — 40 GB bf16 > one chip's HBM, SURVEY.md §2.4).
+    mesh = None
+    import jax
+
+    from qwen_image_edit_streamdiffusion_tpu.parallel import distributed
+
+    distributed.initialize()
+    if jax.device_count() > 1:
+        mesh = distributed.global_mesh(cfg_axis=1)
+        print(f"mesh: {dict(mesh.shape)}")
+
     print(f"Loading pipeline ({args.preset})...")
     engine = InferenceEngine.create(
         args.preset, config=config,
         warmup_runs=0 if args.no_warmup else 1,
+        mesh=mesh,
     )
     engine.queue_requests = os.environ.get("QIE_QUEUE", "") == "1"
     print(f"Ready. Serving on http://{args.host}:{args.port} "
