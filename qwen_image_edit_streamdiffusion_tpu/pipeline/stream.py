@@ -49,6 +49,11 @@ class RealtimePipeline:
     frame_count: int = 0
     is_keyframe: bool = True
     inference_times: List[float] = field(default_factory=list)
+    # frozen prompt conditioning (set by precompute_conditions)
+    _frozen_txt: Optional[jnp.ndarray] = None
+    _frozen_mask: Optional[jnp.ndarray] = None
+    _frozen_neg_txt: Optional[jnp.ndarray] = None
+    _frozen_neg_mask: Optional[jnp.ndarray] = None
 
     # ------------------------------------------------------------------
 
@@ -64,12 +69,37 @@ class RealtimePipeline:
                                             **kw))
 
     def precompute_conditions(self, prompt: str,
-                              negative_prompt: Optional[str] = None) -> None:
-        """Set + pre-warm the prompt conditioning (reference
-        qwen_realtime.py:140-165; the actual embeds land in the prompt
-        cache on first use and are reused every frame)."""
+                              negative_prompt: Optional[str] = None,
+                              reference_image: Optional[Image.Image] = None,
+                              ) -> None:
+        """Compute and FREEZE the prompt conditioning (reference
+        CachedConditions semantics, qwen_realtime.py:69-89/140-165: embeds
+        are keyed on the prompt, not the live frame — re-encoding the VL
+        model per webcam frame is exactly the cost the reference's cache
+        was designed to remove). The optional reference image conditions
+        the VL encoding; by default text-only."""
         self.prompt = prompt
         self.negative_prompt = negative_prompt
+        p = self.pipe
+        mdt = jnp.dtype(p.preset.model.dtype)
+        vl_images = []
+        if reference_image is not None:
+            lw, lh = imaging.calculate_dimensions(
+                p.config.vl_image_area,
+                reference_image.size[0] / reference_image.size[1],
+            )
+            vl_images = [np.asarray(imaging.resize(reference_image, lw, lh),
+                                    dtype=np.uint8)]
+        emb = p.encoder.encode(prompt, vl_images)
+        self._frozen_txt = jnp.asarray(emb.embeds, mdt)[None]
+        self._frozen_mask = jnp.asarray(emb.mask)[None]
+        if negative_prompt is not None:
+            nemb = p.encoder.encode(negative_prompt, vl_images)
+            self._frozen_neg_txt = jnp.asarray(nemb.embeds, mdt)[None]
+            self._frozen_neg_mask = jnp.asarray(nemb.mask)[None]
+        else:
+            self._frozen_neg_txt = self._frozen_txt
+            self._frozen_neg_mask = self._frozen_mask
 
     # ------------------------------------------------------------------
 
@@ -181,20 +211,15 @@ class RealtimePipeline:
         out_h, out_w, vae_images, vl_images = p._prepare_images(
             [frame], cfgc.height, cfgc.width
         )
-        encode_prompt = (p.prompt_cache.encode if p.prompt_cache
-                         else p.encoder.encode)
-        emb = encode_prompt(self.prompt, vl_images)
-        mdt = jnp.dtype(p.preset.model.dtype)
-        txt = jnp.asarray(emb.embeds, mdt)[None]
-        mask = jnp.asarray(emb.mask)[None]
+        # frozen prompt conditioning (CachedConditions semantics) — no
+        # per-frame VL encode; fall back to on-the-fly encoding if the
+        # caller never called precompute_conditions
+        if getattr(self, "_frozen_txt", None) is None:
+            self.precompute_conditions(self.prompt, self.negative_prompt)
+        txt, mask = self._frozen_txt, self._frozen_mask
+        neg_txt, neg_mask = self._frozen_neg_txt, self._frozen_neg_mask
         use_cfg = (self.negative_prompt is not None
                    and cfgc.true_cfg_scale > 1.0)
-        if use_cfg:
-            nemb = encode_prompt(self.negative_prompt, vl_images)
-            neg_txt = jnp.asarray(nemb.embeds, mdt)[None]
-            neg_mask = jnp.asarray(nemb.mask)[None]
-        else:
-            neg_txt, neg_mask = txt, mask
 
         arr = vae_images[0]
         frame_u8 = jnp.asarray(arr, jnp.uint8)[None]

@@ -87,14 +87,34 @@ def test_temporal_latent_carried(rt):
     assert rt.prev_latent.shape == (1, 8, 8, 16)
 
 
-def test_pipeline_prompt_cache_wired():
-    p = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+def test_stream_freezes_prompt_conditions():
+    """CachedConditions semantics: precompute once, zero per-frame encodes
+    (the reference's intended cache, qwen_realtime.py:69-89)."""
+    calls = []
+
+    class CountingEncoder(StubEncoder):
+        def encode(self, prompt, images=()):
+            calls.append(prompt)
+            return super().encode(prompt, images)
+
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline as RT,
+    )
+
+    enc = CountingEncoder(joint_dim=48, max_len=64)
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0, encoder=enc)
+    p = RT(pipe=pipe)
     p.precompute_conditions("stylize")
+    n_after_precompute = len(calls)
     frame = imaging.make_test_image(64, 64, "gray")
     p.process_frame(frame)
     p.process_frame(frame)
-    stats = p.pipe.prompt_cache.stats()
-    assert stats["hits"] >= 1, f"prompt cache never hit: {stats}"
+    assert len(calls) == n_after_precompute, (
+        f"stream re-encoded the prompt per frame: {calls}"
+    )
 
 
 def test_stream_with_true_cfg():
