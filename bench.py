@@ -38,6 +38,10 @@ def main():
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
         EditPipeline,
     )
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    cache_dir = compile_cache.enable()
+    print(f"# compilation cache: {cache_dir}", file=sys.stderr)
 
     config = StreamConfig(
         width=size, height=size,

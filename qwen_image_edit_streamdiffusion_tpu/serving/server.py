@@ -201,6 +201,12 @@ def main(argv=None):
         width=int(size) if size else None,
         height=int(size) if size else None,
     )
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    cache_dir = compile_cache.enable()
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}")
+
     # Multi-chip: tensor-parallel over all local devices (the full 20B
     # preset requires it — 40 GB bf16 > one chip's HBM, SURVEY.md §2.4).
     mesh = None

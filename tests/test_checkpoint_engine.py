@@ -69,3 +69,14 @@ def test_engine_trace_endpoints(tmp_path):
     with pytest.raises(RuntimeError):
         eng.stop_trace()
     assert os.path.isdir(d)
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    d = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("QIE_COMPILE_CACHE", d)
+    assert compile_cache.enable() == d
+    assert os.path.isdir(d)
+    monkeypatch.setenv("QIE_COMPILE_CACHE", "0")
+    assert compile_cache.enable() is None
