@@ -49,6 +49,9 @@ def _t(label, fn, n=3):
 
 
 def main(argv=None):
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default=os.environ.get("QIE_BENCH_PRESET", "bench-2b"))
     ap.add_argument("--size", type=int, default=1024)

@@ -290,6 +290,9 @@ BENCHES = {
 
 
 def main(argv=None):
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    compile_cache.enable()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("bench", choices=sorted(BENCHES) + ["all"])
     ap.add_argument("--preset",
