@@ -79,3 +79,28 @@ def test_queue_mode_serializes_all():
         t.join()
     assert results.count("ok") == n  # nobody got a 429
     assert engine.total_requests == n + 1
+
+
+def test_bench_suite_lightning_and_cfg_paths():
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import suite
+
+    args = ["--preset", "tiny", "--size", "64", "--steps", "1", "--runs", "1"]
+    suite.main(["lightning_compile"] + args)
+    suite.main(["batched_cfg"] + args)
+    suite.main(["cfg_quality"] + args)
+    import os
+
+    for f in ("cfg_on.png", "cfg_off.png"):
+        assert os.path.exists(f)
+        os.remove(f)
+
+
+def test_bench_suite_stream_path():
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import suite
+
+    suite.main(["stream", "--preset", "tiny", "--size", "64",
+                "--steps", "1", "--runs", "1"])
+    import os
+
+    if os.path.exists("benchmark_output.png"):
+        os.remove("benchmark_output.png")
