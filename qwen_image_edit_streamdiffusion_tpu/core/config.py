@@ -177,6 +177,7 @@ class StreamConfig:
     use_flash_attention: bool = True  # Pallas flash attention (TPU only)
     use_int8: bool = False  # fused int8 quantize+GEMM+dequant weights
     fuse_lora: bool = True  # weight-fuse LoRA before jit (vs runtime adapters)
+    fuse_qkv: bool = True  # concat q/k/v projections (single-chip only)
 
     # Parallelism: mesh axis sizes (cfg × model). model>1 ⇒ tensor parallel.
     mesh_cfg_axis: int = 1

@@ -23,6 +23,7 @@ from qwen_image_edit_streamdiffusion_tpu.ops.int8 import quantize_weight
 DEFAULT_QUANTIZE = frozenset({
     "img_q", "img_k", "img_v", "txt_q", "txt_k", "txt_v",
     "img_out", "txt_out", "fc1", "fc2", "img_mod", "txt_mod",
+    "img_qkv", "txt_qkv",
 })
 
 # Conservative subset if 2-step quality regresses on a real checkpoint:

@@ -190,12 +190,20 @@ def _joint_attention(
     mesh=None,
 ):
     nh = cfg.num_heads
-    iq = _heads(linear(p["img_q"], img), nh)
-    ik = _heads(linear(p["img_k"], img), nh)
-    iv = _heads(linear(p["img_v"], img), nh)
-    tq = _heads(linear(p["txt_q"], txt), nh)
-    tk = _heads(linear(p["txt_k"], txt), nh)
-    tv = _heads(linear(p["txt_v"], txt), nh)
+    if "img_qkv" in p:  # fused projections (models.optimize.fuse_qkv)
+        iqkv = linear(p["img_qkv"], img)
+        tqkv = linear(p["txt_qkv"], txt)
+        iq_, ik_, iv_ = jnp.split(iqkv, 3, axis=-1)
+        tq_, tk_, tv_ = jnp.split(tqkv, 3, axis=-1)
+        iq, ik, iv = _heads(iq_, nh), _heads(ik_, nh), _heads(iv_, nh)
+        tq, tk, tv = _heads(tq_, nh), _heads(tk_, nh), _heads(tv_, nh)
+    else:
+        iq = _heads(linear(p["img_q"], img), nh)
+        ik = _heads(linear(p["img_k"], img), nh)
+        iv = _heads(linear(p["img_v"], img), nh)
+        tq = _heads(linear(p["txt_q"], txt), nh)
+        tk = _heads(linear(p["txt_k"], txt), nh)
+        tv = _heads(linear(p["txt_v"], txt), nh)
 
     iq = rms_norm(p["img_norm_q"], iq, cfg.eps)
     ik = rms_norm(p["img_norm_k"], ik, cfg.eps)

@@ -113,6 +113,10 @@ class EditPipeline:
         key = key_from_seed(seed)
         tfm_params = tfm.init(stream(key, "transformer"), preset.model)
         vae_params = vae_mod.init(stream(key, "vae"), preset.vae)
+        if config.fuse_qkv and mesh is None:
+            from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
+
+            tfm_params = fuse_qkv(tfm_params)
         if config.use_int8:
             from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
                 quantize_transformer,
@@ -171,6 +175,10 @@ class EditPipeline:
             tfm_params = lora.fuse_lora(
                 tfm_params, lora.load_lora_weights(lora_path)
             )
+        if config.fuse_qkv and mesh is None:
+            from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
+
+            tfm_params = fuse_qkv(tfm_params)
         if config.use_int8:
             from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
                 quantize_transformer,

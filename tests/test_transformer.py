@@ -143,3 +143,21 @@ def test_multi_image_sequence(tiny_tfm):
     ropes = tfm.make_rope(cfg, shapes, 4)
     out = tfm.forward(params, cfg, img, txt, jnp.array([800.0]), ropes, use_flash=False)
     assert out.shape == (1, li, cfg.out_channels)
+
+
+def test_fused_qkv_matches_unfused(tiny_tfm):
+    from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
+
+    cfg, params = tiny_tfm
+    fused = fuse_qkv(params)
+    assert "img_qkv" in fused["blocks"][0]["attn"]
+    assert "img_q" not in fused["blocks"][0]["attn"]
+    img = jax.random.normal(jax.random.PRNGKey(11), (1, 16, cfg.in_channels))
+    txt = jax.random.normal(jax.random.PRNGKey(12), (1, 4, cfg.joint_dim))
+    ropes = tfm.make_rope(cfg, [(1, 4, 4)], 4)
+    t = jnp.array([500.0])
+    a = tfm.forward(params, cfg, img, txt, t, ropes, use_flash=False)
+    b = tfm.forward(fused, cfg, img, txt, t, ropes, use_flash=False)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               atol=1e-5, rtol=1e-4)
