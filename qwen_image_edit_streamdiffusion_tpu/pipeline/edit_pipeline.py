@@ -167,7 +167,17 @@ class EditPipeline:
         like_v = _jax.eval_shape(
             lambda: vae_mod.init(_jax.random.PRNGKey(0), preset.vae)
         )
-        tfm_params = ckpt.load(transformer_path, like=like_t)
+        try:
+            tfm_params = ckpt.load(transformer_path, like=like_t)
+        except ValueError:
+            # checkpoint was saved with fused qkv projections
+            from qwen_image_edit_streamdiffusion_tpu.models.optimize import (
+                fuse_qkv,
+            )
+
+            tfm_params = ckpt.load(
+                transformer_path, like=_jax.eval_shape(fuse_qkv, like_t)
+            )
         vae_params = ckpt.load(vae_path, like=like_v)
         if lora_path:
             from qwen_image_edit_streamdiffusion_tpu.models import lora
