@@ -114,6 +114,13 @@ def fuse_lora(
         d[path[0]] = dict(d[path[0]])
         deep_update(d[path[0]], path[1:], fn)
 
+    # q/k/v leaves may have been concatenated by models.optimize.fuse_qkv;
+    # a LoRA delta for e.g. attn.img_k then lands in columns [D, 2D) of
+    # attn.img_qkv.
+    _FUSED_SLOT = {"img_q": ("img_qkv", 0), "img_k": ("img_qkv", 1),
+                   "img_v": ("img_qkv", 2), "txt_q": ("txt_qkv", 0),
+                   "txt_k": ("txt_qkv", 1), "txt_v": ("txt_qkv", 2)}
+
     for (idx, path), e in entries.items():
         if e.a is None or e.b is None:
             raise ValueError(f"incomplete LoRA pair at block {idx} {path}")
@@ -125,7 +132,14 @@ def fuse_lora(
         scale = weight * ((e.alpha / r) if e.alpha is not None else 1.0)
         delta = (e.a.T.astype(np.float32) @ e.b.T.astype(np.float32)) * scale
 
-        def fuse(leaf, delta=delta):
+        col_slot = None
+        blk_attn = blocks[idx].get("attn", {})
+        if (path[0] == "attn" and path[-1] in _FUSED_SLOT
+                and path[-1] not in blk_attn):
+            fused_name, col_slot = _FUSED_SLOT[path[-1]]
+            path = ("attn", fused_name)
+
+        def fuse(leaf, delta=delta, col_slot=col_slot):
             leaf = dict(leaf)
             if "w" not in leaf:
                 raise ValueError(
@@ -133,6 +147,19 @@ def fuse_lora(
                     "quantize_transformer()"
                 )
             w = leaf["w"]
+            if col_slot is not None:
+                d_out = delta.shape[1]
+                expect = (delta.shape[0], 3 * d_out)
+                if w.shape != expect:
+                    raise ValueError(
+                        f"LoRA delta {delta.shape} vs fused weight {w.shape}"
+                    )
+                w32 = w.astype(jnp.float32)
+                sl = slice(col_slot * d_out, (col_slot + 1) * d_out)
+                leaf["w"] = w32.at[:, sl].add(jnp.asarray(delta)).astype(
+                    w.dtype
+                )
+                return leaf
             if w.shape != delta.shape:
                 raise ValueError(
                     f"LoRA delta {delta.shape} vs weight {w.shape}"

@@ -161,3 +161,20 @@ def test_vl_roundtrip(tiny_preset):
     }
     back = convert.convert_vl(state, cfg)
     _tree_equal(params, back)
+
+
+def test_lora_fusion_onto_fused_qkv(tiny_preset):
+    from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
+
+    cfg = tiny_preset.model
+    params = tfm.init(jax.random.PRNGKey(0), cfg)
+    state = _mk_lora_state(cfg, module="attn.to_k")
+    # fusing LoRA into an unfused tree then fusing qkv must equal
+    # fusing qkv first then LoRA onto the fused leaf
+    a = fuse_qkv(lora.fuse_lora(params, state))
+    b = lora.fuse_lora(fuse_qkv(params), state)
+    np.testing.assert_allclose(
+        np.asarray(a["blocks"][0]["attn"]["img_qkv"]["w"], np.float32),
+        np.asarray(b["blocks"][0]["attn"]["img_qkv"]["w"], np.float32),
+        atol=1e-3, rtol=1e-2,
+    )
