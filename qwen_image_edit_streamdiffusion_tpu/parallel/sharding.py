@@ -26,9 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qwen_image_edit_streamdiffusion_tpu.core.meshes import CFG_AXIS, MODEL_AXIS
 
 # Column-parallel leaves: weight (in, out) → split out; bias → split.
+# (img_qkv/txt_qkv: fused layouts stay correct under GSPMD column sharding,
+# though per-projection sharding is preferred — EditPipeline skips fusion
+# when a mesh is active.)
 _COL_PARALLEL = {
     "img_q", "img_k", "img_v", "txt_q", "txt_k", "txt_v",
-    "fc1", "img_mod", "txt_mod",
+    "img_qkv", "txt_qkv", "fc1", "img_mod", "txt_mod",
 }
 # Row-parallel leaves: weight (in, out) → split in; bias replicated
 # (XLA adds the psum after the partial matmul).
