@@ -71,14 +71,25 @@ def make_schedule(
     """
     if num_steps < 1:
         raise ValueError("num_steps must be >= 1")
-    sigma_min = 1.0 / cfg.num_train_timesteps
-    sigmas = jnp.linspace(1.0, sigma_min, num_steps, dtype=jnp.float32)
+    # Upstream pipelines seed the scheduler with linspace(1, 1/num_steps)
+    # (NOT 1/num_train_timesteps): the trained few-step trajectory ends well
+    # above sigma≈0 before the shift/stretch below place the terminus.
+    sigmas = jnp.linspace(1.0, 1.0 / num_steps, num_steps, dtype=jnp.float32)
     if cfg.use_dynamic_shifting:
         mu = compute_mu(image_seq_len, cfg)
         sigmas = _time_shift_exponential(mu, sigmas)
     else:
         s = cfg.shift
         sigmas = s * sigmas / (1.0 + (s - 1.0) * sigmas)
+    # Qwen-Image sets shift_terminal=0.02: affinely stretch so the final
+    # sigma equals it (FlowMatchEulerDiscreteScheduler.stretch_shift_to_
+    # terminal). Skipped at num_steps=1 where sigmas=[1.0] (the stretch is
+    # 0/0 there; the reference documents 1-step as unstable anyway,
+    # README.md:104).
+    if cfg.shift_terminal and num_steps > 1:
+        one_minus = 1.0 - sigmas
+        scale = one_minus[-1] / (1.0 - cfg.shift_terminal)
+        sigmas = 1.0 - one_minus / scale
     sigmas = jnp.concatenate([sigmas, jnp.zeros((1,), jnp.float32)])
     timesteps = sigmas[:-1] * cfg.num_train_timesteps
     return Schedule(sigmas=sigmas, timesteps=timesteps)

@@ -29,7 +29,23 @@ def test_dynamic_shift_increases_midpoint_sigma():
     hi = np.asarray(sched.make_schedule(8, 8192, cfg).sigmas)
     unshifted = np.linspace(1.0, 1.0 / cfg.num_train_timesteps, 8)
     assert np.all(lo[1:-1] >= unshifted[1:] - 1e-6)
-    assert np.all(hi[1:-1] >= lo[1:-1])
+    # (both tails are pinned to shift_terminal — compare with float tolerance)
+    assert np.all(hi[1:-1] >= lo[1:-1] - 1e-6)
+
+
+def test_upstream_timestep_parity():
+    # Golden values for the stock diffusers usage the reference relies on:
+    # pipeline passes sigmas=linspace(1, 1/num_steps); scheduler applies the
+    # exponential shift (mu from dynamic shifting) then stretches the tail to
+    # shift_terminal=0.02 (Qwen-Image scheduler_config.json).
+    s4 = np.asarray(sched.make_schedule(4, image_seq_len=4096).timesteps)
+    np.testing.assert_allclose(s4, [1000.0, 766.8, 455.7, 20.0], atol=0.5)
+    s2 = np.asarray(sched.make_schedule(2, image_seq_len=4096).timesteps)
+    np.testing.assert_allclose(s2, [1000.0, 20.0], atol=0.5)
+    # Terminal sigma before the appended zero is exactly shift_terminal.
+    for steps in (2, 4, 8, 28):
+        sig = np.asarray(sched.make_schedule(steps, 4096).sigmas)
+        assert sig[-2] == pytest.approx(0.02, abs=1e-5)
 
 
 def test_mu_linear_interpolation_endpoints():
