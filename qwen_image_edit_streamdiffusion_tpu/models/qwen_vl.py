@@ -48,7 +48,6 @@ from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
     SYSTEM_PROMPT,
     PromptEmbedding,
 )
-from qwen_image_edit_streamdiffusion_tpu.ops.attention import reference_attention
 
 # ---------------------------------------------------------------------------
 # Shared pieces
@@ -127,23 +126,35 @@ def _vision_rope(cfg: VLConfig, gh: int, gw: int) -> Tuple[np.ndarray, np.ndarra
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def _window_order(cfg: VLConfig, gh: int, gw: int) -> Tuple[np.ndarray, int]:
-    """Permutation putting tokens into (win_h, win_w) windows of
-    ``window_size/patch_size`` patches, padded grid assumed. Returns
-    (perm index array, tokens per window)."""
+def _window_partition(cfg: VLConfig, gh: int, gw: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Window membership for grids NOT padded to window multiples.
+
+    HF smart-resizes to patch·merge multiples only and handles ragged edge
+    windows inside attention (varlen cu_window_seqlens); the TPU-static
+    equivalent here is a window-id per token driving a block-diagonal
+    attention mask. Returns (perm, win_ids_sorted): a stable window-major
+    token order and each sorted token's window id. Window membership at
+    patch granularity equals HF's merge-cell granularity because the
+    window side (window_size/patch) is a multiple of spatial_merge.
+    """
     wp = cfg.window_size // cfg.patch_size  # patches per window side
-    idx = np.arange(gh * gw).reshape(gh, gw)
-    nwh, nww = gh // wp, gw // wp
-    out = idx.reshape(nwh, wp, nww, wp).transpose(0, 2, 1, 3).reshape(-1)
-    return out, wp * wp
+    r = np.repeat(np.arange(gh), gw)
+    c = np.tile(np.arange(gw), gh)
+    nww = -(-gw // wp)  # ceil: ragged edge windows allowed
+    win = (r // wp) * nww + (c // wp)
+    perm = np.argsort(win, kind="stable")
+    return perm, win[perm]
 
 
 def vision_forward(
     params: Params, cfg: VLConfig, patches: jnp.ndarray, gh: int, gw: int
 ) -> jnp.ndarray:
     """patches: (gh*gw, 3·tp·p²) pre-extracted patch pixels (row-major grid,
-    gh/gw multiples of spatial_merge AND window patches — caller pads).
-    Returns merged vision tokens (gh*gw/4, vision_out_dim)."""
+    gh/gw multiples of spatial_merge — NOT window-padded; ragged edge
+    windows are handled by a block-diagonal mask, matching HF's varlen
+    window attention). Returns merged vision tokens (gh*gw/4, vision_out_dim).
+    """
     nh = cfg.vision_heads
     d = cfg.vision_hidden
     hd = d // nh
@@ -151,13 +162,21 @@ def vision_forward(
     l = gh * gw
 
     cos_np, sin_np = _vision_rope(cfg, gh, gw)
-    perm, win_tokens = _window_order(cfg, gh, gw)
+    perm, win_ids = _window_partition(cfg, gh, gw)
     inv_perm = np.argsort(perm)
-    # windows are contiguous after permutation
+    # window-major order: windows are contiguous spans of varying length
     x = x[perm]
     cos = jnp.asarray(cos_np[perm])[None, None]  # (1,1,L,hd)
     sin = jnp.asarray(sin_np[perm])[None, None]
-    n_win = l // win_tokens
+    win_mask = jnp.asarray(win_ids[:, None] == win_ids[None, :])  # (L, L)
+
+    def attn(q, k, v, mask2d):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if mask2d is not None:
+            s = jnp.where(mask2d[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
     for i, blk in enumerate(params["blocks"]):
         h = rms_norm(blk["norm1"], x, cfg.rms_eps)
@@ -168,15 +187,7 @@ def vision_forward(
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
         full = i in cfg.fullatt_block_indexes
-        if full:
-            o = reference_attention(q, k, v)
-        else:
-            # window attention: fold windows into the batch axis
-            qw = q.reshape(nh, n_win, win_tokens, hd).transpose(1, 0, 2, 3)
-            kw = k.reshape(nh, n_win, win_tokens, hd).transpose(1, 0, 2, 3)
-            vw = v.reshape(nh, n_win, win_tokens, hd).transpose(1, 0, 2, 3)
-            ow = reference_attention(qw, kw, vw)
-            o = ow.transpose(1, 0, 2, 3).reshape(1, nh, l, hd)
+        o = attn(q, k, v, None if full else win_mask)
         o = o[0].transpose(1, 0, 2).reshape(l, d)
         x = x + linear(blk["proj"], o)
         h2 = rms_norm(blk["norm2"], x, cfg.rms_eps)
@@ -297,6 +308,71 @@ IMAGE_PAD = 151655
 VISION_START = 151652
 VISION_END = 151653
 
+_SPECIAL_IDS = {
+    "<|im_start|>": IM_START,
+    "<|im_end|>": IM_END,
+    "<|image_pad|>": IMAGE_PAD,
+    "<|vision_start|>": VISION_START,
+    "<|vision_end|>": VISION_END,
+}
+
+# Exact upstream edit-plus chat template (the reference reaches it through
+# QwenImageEditPlusPipeline → Qwen2.5-VL processor; the fixed 64-token drop
+# index upstream equals the tokenized length of TEMPLATE_PREFIX with the
+# real tokenizer).
+TEMPLATE_PREFIX = (
+    "<|im_start|>system\n" + SYSTEM_PROMPT + "<|im_end|>\n<|im_start|>user\n"
+)
+TEMPLATE_SUFFIX = "<|im_end|>\n<|im_start|>assistant\n"
+IMG_LABEL = "Picture {}: "
+
+
+def _tokenize(tok, text: str) -> List[int]:
+    """Tokenize text that may contain <|...|> special markers.
+
+    HF tokenizers map the markers to their added-token ids natively; the
+    SimpleTokenizer fallback gets them spliced in via the known id table.
+    """
+    try:
+        return list(tok.encode(text, add_special_tokens=False))
+    except TypeError:
+        pass  # SimpleTokenizer
+    import re
+
+    ids: List[int] = []
+    for part in re.split(r"(<\|\w+\|>)", text):
+        if part in _SPECIAL_IDS:
+            ids.append(_SPECIAL_IDS[part])
+        elif part.strip():
+            ids.extend(tok.encode(part))
+    return ids
+
+
+def build_chat_ids(
+    tok, prompt: str, n_merged_per_image: Sequence[int],
+    drop_idx: Optional[int] = None,
+) -> Tuple[List[int], List[int], int]:
+    """Assemble the upstream edit-plus token sequence.
+
+    Template: TEMPLATE_PREFIX, then one "Picture {i}: <|vision_start|>
+    <|image_pad|>×n <|vision_end|>" span per image, then the instruction,
+    then TEMPLATE_SUFFIX. Returns (ids, vision_starts — index of each
+    image's first IMAGE_PAD slot, drop_len — tokens dropped from the
+    hidden states; upstream hardcodes 64 = len(tokenize(prefix)) with the
+    real tokenizer).
+    """
+    pre_ids = _tokenize(tok, TEMPLATE_PREFIX)
+    drop_len = drop_idx if drop_idx is not None else len(pre_ids)
+    ids: List[int] = list(pre_ids)
+    vision_starts: List[int] = []
+    for i, n_merged in enumerate(n_merged_per_image):
+        label_ids = _tokenize(tok, IMG_LABEL.format(i + 1))
+        vision_starts.append(len(ids) + len(label_ids) + 1)
+        ids += (label_ids + [VISION_START] + [IMAGE_PAD] * n_merged
+                + [VISION_END])
+    ids += _tokenize(tok, prompt) + _tokenize(tok, TEMPLATE_SUFFIX)
+    return ids, vision_starts, drop_len
+
 
 class SimpleTokenizer:
     """Deterministic hashed tokenizer fallback.
@@ -345,23 +421,23 @@ def smart_resize_hw(h: int, w: int, factor: int, min_pixels: int,
 def extract_patches(img: np.ndarray, cfg: VLConfig) -> Tuple[np.ndarray, int, int]:
     """HWC uint8/float image → (gh*gw, 3·tp·p²) patch matrix (+ grid dims).
 
-    Resizes to window-aligned multiples of patch·merge, normalizes with
-    CLIP-style mean/std, duplicates the single frame over the temporal
-    patch (HF behavior for images).
+    HF-exact sizing: smart-resize to multiples of patch·merge (28 px for
+    the real config) with the processor's min/max pixel bounds — the grid
+    is NOT rounded to window multiples (ragged edge windows are masked in
+    :func:`vision_forward`), so token count and positions match what the
+    checkpoint was trained with. Normalizes with CLIP-style mean/std and
+    duplicates the single frame over the temporal patch (HF behavior for
+    images).
     """
     from PIL import Image as PILImage
 
     p = cfg.patch_size
-    # windows need window_size/patch alignment; pad grid to window multiple
     factor = p * cfg.spatial_merge_size
     h, w = img.shape[:2]
+    # HF Qwen2.5-VL processor defaults: min 4·28², max 1280·28² pixels.
     nh, nw = smart_resize_hw(h, w, factor, min_pixels=factor * factor * 4,
-                             max_pixels=2048 * 2048)
-    # align to full windows so window attention never needs ragged masks
-    wp = cfg.window_size // p
-    gh = ((nh // p) + wp - 1) // wp * wp
-    gw = ((nw // p) + wp - 1) // wp * wp
-    nh, nw = gh * p, gw * p
+                             max_pixels=factor * factor * 1280)
+    gh, gw = nh // p, nw // p
     pil = PILImage.fromarray(img.astype(np.uint8))
     arr = np.asarray(pil.resize((nw, nh), PILImage.BICUBIC), np.float32) / 255.0
     mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -380,10 +456,14 @@ class QwenVLEncoder:
     """Drop-in PromptEncoder backed by the native Qwen2.5-VL port."""
 
     def __init__(self, cfg: VLConfig, params: Optional[Params] = None,
-                 tokenizer=None, seed: int = 0, max_len: int = 256):
+                 tokenizer=None, seed: int = 0, max_len: int = 256,
+                 drop_idx: Optional[int] = None):
         self.cfg = cfg
         self.joint_dim = cfg.hidden_size
         self.max_len = max_len
+        # Upstream drops a fixed 64-token template prefix; None = derive
+        # from the tokenized TEMPLATE_PREFIX (equal for the real tokenizer).
+        self.drop_idx = drop_idx
         if params is None:
             key = jax.random.PRNGKey(seed)
             kv, kl = jax.random.split(key)
@@ -426,14 +506,8 @@ class QwenVLEncoder:
         dtype = jnp.dtype(cfg.dtype)
         tok = self.tokenizer
 
-        sys_ids = ([IM_START] + tok.encode("system " + SYSTEM_PROMPT)
-                   + [IM_END])
-        pre_ids = sys_ids + [IM_START] + tok.encode("user")
-        drop_len = len(sys_ids)  # prompt embeds drop the system prefix
-
         vision_tokens: List[jnp.ndarray] = []
         grids: List[Tuple[int, int]] = []
-        img_id_spans: List[List[int]] = []
         for img in images:
             patches, gh, gw = extract_patches(np.asarray(img), cfg)
             vt = self._vision_fn(gh, gw)(
@@ -441,22 +515,11 @@ class QwenVLEncoder:
             )
             vision_tokens.append(vt)
             grids.append((gh, gw))
-            n_merged = vt.shape[0]
-            img_id_spans.append(
-                [VISION_START] + [IMAGE_PAD] * n_merged + [VISION_END]
-            )
 
-        prompt_ids = tok.encode(prompt)
-        tail_ids = [IM_END, IM_START] + tok.encode("assistant")
-
-        ids: List[int] = list(pre_ids)
-        vision_starts: List[int] = []
-        cursor = len(pre_ids)
-        for span in img_id_spans:
-            vision_starts.append(cursor + 1)  # after VISION_START
-            ids += span
-            cursor += len(span)
-        ids += prompt_ids + tail_ids
+        ids, vision_starts, drop_len = build_chat_ids(
+            tok, prompt, [int(vt.shape[0]) for vt in vision_tokens],
+            drop_idx=self.drop_idx,
+        )
 
         # M-RoPE positions: vision spans interleave text
         pos = _positions_from_ids(cfg, ids, grids)
@@ -509,11 +572,23 @@ class QwenVLEncoder:
         )
         out = np.asarray(hidden[drop_len:n_real], np.float32)
 
-        out = out[: self.max_len]
+        if out.shape[0] > self.max_len:
+            import warnings
+
+            warnings.warn(
+                f"prompt conditioning truncated {out.shape[0]} → "
+                f"{self.max_len} tokens (vision spans + instruction exceed "
+                "max_len)", stacklevel=2,
+            )
+            out = out[: self.max_len]
         n = out.shape[0]
-        embeds_out = np.zeros((self.max_len, cfg.hidden_size), np.float32)
+        # Bucket the *output* length too (64-token granularity, capped at
+        # max_len): the denoise graph is keyed on txt_len, so this bounds
+        # retraces while keeping short prompts cheap in joint attention.
+        l_out = min(self.max_len, max(64, -(-n // 64) * 64))
+        embeds_out = np.zeros((l_out, cfg.hidden_size), np.float32)
         embeds_out[:n] = out
-        mask = np.zeros((self.max_len,), bool)
+        mask = np.zeros((l_out,), bool)
         mask[:n] = True
         return PromptEmbedding(embeds=embeds_out, mask=mask)
 

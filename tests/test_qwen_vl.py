@@ -8,12 +8,17 @@ from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
 from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
     QwenVLEncoder,
     SimpleTokenizer,
+    build_chat_ids,
     extract_patches,
     smart_resize_hw,
     _mrope_tables,
     _positions_from_ids,
-    _window_order,
+    _window_partition,
     IMAGE_PAD,
+    IM_START,
+    IM_END,
+    VISION_START,
+    VISION_END,
 )
 
 
@@ -28,23 +33,80 @@ def test_smart_resize_alignment():
     assert 56 * 56 <= h * w <= 1024 * 1024
 
 
+def test_smart_resize_hf_goldens():
+    # HF qwen_vl_utils.smart_resize outputs with processor defaults
+    # (factor=28, min=4·28²=3136, max=1280·28²=1003520) — grid parity with
+    # the real checkpoint's training distribution (VERDICT.md missing #4).
+    cases = {
+        (480, 640): (476, 644),
+        (100, 160): (112, 168),
+        (384, 384): (392, 392),
+        (1024, 1024): (980, 980),   # max_pixels binds → floor path
+        (56, 1000): (56, 1008),
+        (20, 20): (56, 56),         # min_pixels binds → ceil path
+        (512, 512): (504, 504),
+    }
+    for (h, w), want in cases.items():
+        got = smart_resize_hw(h, w, 28, 4 * 28 * 28, 1280 * 28 * 28)
+        assert got == want, f"{(h, w)} → {got}, want {want}"
+
+
 def test_extract_patches_shapes(tiny_preset):
     cfg = tiny_preset.vl
     img = np.random.default_rng(0).integers(0, 255, (100, 160, 3)).astype(np.uint8)
     patches, gh, gw = extract_patches(img, cfg)
-    wp = cfg.window_size // cfg.patch_size
-    assert gh % wp == 0 and gw % wp == 0
+    m = cfg.spatial_merge_size
+    # HF-exact grid: smart_resize(100,160)=(112,168) → 8×12 patches of 14px,
+    # aligned to the merge factor only (NOT window-rounded).
+    assert (gh, gw) == (112 // cfg.patch_size, 168 // cfg.patch_size)
+    assert gh % m == 0 and gw % m == 0
     assert patches.shape == (gh * gw,
                              3 * cfg.temporal_patch_size * cfg.patch_size ** 2)
 
 
-def test_window_order_is_permutation(tiny_preset):
+def test_window_partition_ragged(tiny_preset):
     cfg = tiny_preset.vl
     wp = cfg.window_size // cfg.patch_size
-    gh, gw = 2 * wp, 3 * wp
-    perm, win_tokens = _window_order(cfg, gh, gw)
-    assert win_tokens == wp * wp
+    gh, gw = wp + 2, 2 * wp + 4  # ragged right/bottom edge windows
+    perm, win_ids = _window_partition(cfg, gh, gw)
     assert sorted(perm.tolist()) == list(range(gh * gw))
+    # windows are contiguous spans in sorted order
+    assert np.all(np.diff(win_ids) >= 0)
+    # membership matches (r//wp, c//wp) tiling, incl. ragged edges
+    r, c = perm // gw, perm % gw
+    expect = (r // wp) * (-(-gw // wp)) + (c // wp)
+    np.testing.assert_array_equal(win_ids, expect)
+    # ragged edge window is smaller than a full wp×wp window
+    sizes = np.bincount(win_ids)
+    assert sizes.max() == wp * wp and sizes.min() == 2 * 4
+
+
+def test_chat_template_structure():
+    tok = SimpleTokenizer(512)
+    ids, starts, drop = build_chat_ids(tok, "make it red", [5, 3])
+    # prefix: <|im_start|> system ... <|im_end|> <|im_start|> user
+    assert ids[0] == IM_START
+    # drop covers the full prefix "...<|im_end|>\n<|im_start|>user\n"
+    assert ids[drop - 2] == IM_START and ids[drop - 3] == IM_END
+    # exactly two vision spans with the right pad counts, in order
+    vs = [i for i, t in enumerate(ids) if t == VISION_START]
+    ve = [i for i, t in enumerate(ids) if t == VISION_END]
+    assert len(vs) == 2 and len(ve) == 2
+    assert ids[vs[0] + 1: ve[0]] == [IMAGE_PAD] * 5
+    assert ids[vs[1] + 1: ve[1]] == [IMAGE_PAD] * 3
+    assert starts == [vs[0] + 1, vs[1] + 1]
+    # "Picture N:" labels precede each vision span (hashed token ids differ
+    # between Picture-1 and Picture-2 labels only at the number token)
+    lbl1 = ids[drop: vs[0]]
+    lbl2 = ids[ve[0] + 1: vs[1]]
+    assert len(lbl1) == len(lbl2) == 2  # "Picture" + "1:"
+    assert lbl1[0] == lbl2[0] and lbl1[1] != lbl2[1]
+    # suffix ends with the assistant header, past the user <|im_end|>
+    assert IM_END in ids[ve[1]:]
+    assert ids[-2] == IM_START  # ... <|im_start|> assistant
+    # drop_idx override pins the upstream fixed 64
+    _, _, d2 = build_chat_ids(tok, "x", [], drop_idx=64)
+    assert d2 == 64
 
 
 def test_mrope_positions_walk(tiny_preset):
@@ -76,7 +138,8 @@ def test_mrope_tables_shape(tiny_preset):
 
 def test_encode_text_only(enc):
     e = enc.encode("make it a watercolor painting")
-    assert e.embeds.shape == (96, enc.cfg.hidden_size)
+    # short prompts land in the smallest 64-token output bucket (≤ max_len)
+    assert e.embeds.shape == (64, enc.cfg.hidden_size)
     assert e.mask.any() and not e.mask.all()
     assert np.isfinite(e.embeds).all()
 
