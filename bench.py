@@ -54,28 +54,56 @@ def main():
     init_s = time.time() - t0
     print(f"# init {preset_name}: {init_s:.1f}s", file=sys.stderr)
 
-    img = imaging.make_test_image(size, size, "gradient")
+    import numpy as np
+    from PIL import Image
+
+    def distinct_image(i: int) -> Image.Image:
+        """A different image every run so the prompt/latent caches MISS —
+        the headline number pays VL prompt encode + condition VAE encode
+        like the reference does on every request (VERDICT r1 weak #2)."""
+        base = np.asarray(
+            imaging.make_test_image(size, size, "gradient"), np.int32
+        )
+        rng = np.random.default_rng(i)
+        tint = rng.integers(0, 64, (3,), np.int32)
+        return Image.fromarray(
+            np.clip(base + tint[None, None, :], 0, 255).astype(np.uint8)
+        )
 
     # Warmup (AOT compile; mirrors reference server warmup, server.py:83-95)
     t0 = time.time()
-    pipe(img, "warmup", num_inference_steps=steps)
+    pipe(distinct_image(1000), "warmup", num_inference_steps=steps)
     print(f"# compile+first-run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    times = []
+    prompt = "Transform into oil painting style"
+    uncached = []
     for i in range(runs):
         t0 = time.time()
-        res = pipe(img, "Transform into oil painting style",
-                   num_inference_steps=steps, seed=42)
-        times.append(time.time() - t0)
-        print(f"# run {i + 1}/{runs}: {times[-1]:.3f}s", file=sys.stderr)
+        pipe(distinct_image(i), prompt, num_inference_steps=steps, seed=42)
+        uncached.append(time.time() - t0)
+        print(f"# uncached run {i + 1}/{runs}: {uncached[-1]:.3f}s",
+              file=sys.stderr)
 
-    sec = statistics.median(times)
+    # Steady-state stream semantics: same prompt + image repeated → prompt/
+    # latent cache hits (cached_pipeline_v2 behavior, SURVEY.md §0.1).
+    fixed = distinct_image(0)
+    cached = []
+    for i in range(runs):
+        t0 = time.time()
+        pipe(fixed, prompt, num_inference_steps=steps, seed=42)
+        cached.append(time.time() - t0)
+        print(f"# cached run {i + 1}/{runs}: {cached[-1]:.3f}s",
+              file=sys.stderr)
+
+    sec = statistics.median(uncached)
     print(json.dumps({
-        "metric": f"sec/image {size}x{size} {steps}-step cond-only edit "
+        "metric": f"sec/image {size}x{size} {steps}-step cond-only edit, "
+                  f"cache-miss incl. VL prompt encode "
                   f"({preset_name} preset, single chip)",
         "value": round(sec, 4),
         "unit": "s/img",
         "vs_baseline": round(BASELINE_SEC / sec, 3),
+        "cached_s_img": round(statistics.median(cached), 4),
     }))
 
 

@@ -101,6 +101,10 @@ class SchedulerConfig:
     max_shift: float = 0.9
     shift: float = 1.0
     use_dynamic_shifting: bool = True
+    # Qwen-Image's scheduler_config.json sets shift_terminal=0.02: after the
+    # exponential shift, sigmas are affinely stretched so the final
+    # (pre-zero) sigma lands at this value. 0 / None disables the stretch.
+    shift_terminal: float = 0.02
 
 
 @dataclass(frozen=True)
@@ -172,6 +176,12 @@ class StreamConfig:
     model_preset: str = "qwen-image-edit-2509"
     dtype: str = "bfloat16"
     seed: int = 42
+
+    # Prompt encoding: True = native Qwen2.5-VL encoder in-path (reference
+    # parity — the upstream pipeline encodes prompt+image through the VL
+    # model every call, SURVEY.md §3.2). False = deterministic StubEncoder
+    # (unit-test double; excludes prompt-encode compute from any timing).
+    use_vl_encoder: bool = True
 
     # Optimization flags
     use_flash_attention: bool = True  # Pallas flash attention (TPU only)

@@ -53,6 +53,32 @@ def load(path: str, like: Optional[Any] = None, shardings: Optional[Any] = None)
     return ckptr.restore(path, target)
 
 
+def saved_keys(path: str) -> set:
+    """Top-of-tree key inspection without restoring any arrays — used to
+    detect e.g. fused-vs-unfused qkv layouts before choosing a restore
+    target (catching exceptions from a mismatched restore is brittle
+    across orbax versions)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    meta = ocp.StandardCheckpointer().metadata(path)
+    tree = getattr(meta, "item_metadata", None) or meta
+    keys: set = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            keys.update(node.keys())
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(tree if isinstance(tree, (dict, list, tuple))
+         else getattr(tree, "tree", {}))
+    return keys
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -72,6 +72,22 @@ class EditResult(NamedTuple):
     elapsed: float
 
 
+def _default_encoder(preset: Preset, config: StreamConfig, seed: int
+                     ) -> PromptEncoder:
+    """Reference parity default: the native Qwen2.5-VL encoder runs in-path
+    on every call (upstream pipeline behavior, SURVEY.md §3.2). Weights are
+    random-init until a checkpoint is supplied (from_checkpoint(vl_path=…)).
+    use_vl_encoder=False opts into the StubEncoder test double."""
+    if config.use_vl_encoder:
+        from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
+            QwenVLEncoder,
+        )
+
+        return QwenVLEncoder(preset.vl, seed=seed,
+                             max_len=preset.vl.max_text_len)
+    return StubEncoder.from_config(preset.vl)
+
+
 @dataclass
 class EditPipeline:
     """Holds params + per-shape-bucket compiled graphs.
@@ -129,7 +145,7 @@ class EditPipeline:
             tfm_params = sharding.shard_transformer_params(tfm_params, mesh)
             vae_params = sharding.replicate(vae_params, mesh)
         if encoder is None:
-            encoder = StubEncoder.from_config(preset.vl)
+            encoder = _default_encoder(preset, config, seed)
         from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
             LatentCache,
             PromptCache,
@@ -167,10 +183,14 @@ class EditPipeline:
         like_v = _jax.eval_shape(
             lambda: vae_mod.init(_jax.random.PRNGKey(0), preset.vae)
         )
+        # Detect the saved qkv layout from checkpoint metadata (no array
+        # reads) rather than catching restore exceptions, which vary by
+        # orbax version and failure mode.
         try:
-            tfm_params = ckpt.load(transformer_path, like=like_t)
-        except ValueError:
-            # checkpoint was saved with fused qkv projections
+            fused_saved = "img_qkv" in ckpt.saved_keys(transformer_path)
+        except Exception:
+            fused_saved = False
+        if fused_saved:
             from qwen_image_edit_streamdiffusion_tpu.models.optimize import (
                 fuse_qkv,
             )
@@ -178,6 +198,8 @@ class EditPipeline:
             tfm_params = ckpt.load(
                 transformer_path, like=_jax.eval_shape(fuse_qkv, like_t)
             )
+        else:
+            tfm_params = ckpt.load(transformer_path, like=like_t)
         vae_params = ckpt.load(vae_path, like=like_v)
         if lora_path:
             from qwen_image_edit_streamdiffusion_tpu.models import lora
@@ -206,9 +228,12 @@ class EditPipeline:
             )
 
             vl_params = ckpt.load(vl_path)
-            encoder: PromptEncoder = QwenVLEncoder(preset.vl, params=vl_params)
+            encoder: PromptEncoder = QwenVLEncoder(
+                preset.vl, params=vl_params,
+                max_len=preset.vl.max_text_len,
+            )
         else:
-            encoder = StubEncoder.from_config(preset.vl)
+            encoder = _default_encoder(preset, config, seed=0)
         from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
             LatentCache,
             PromptCache,
@@ -471,6 +496,20 @@ class EditPipeline:
                 neg.embeds, jnp.dtype(self.preset.model.dtype)
             )[None]
             neg_mask = jnp.asarray(neg.mask)[None]
+            # pos/neg may land in different txt-length buckets (prompt text
+            # lengths differ); pad the shorter so CFG modes can stack them.
+            lt, ln = txt.shape[1], neg_txt.shape[1]
+            if lt != ln:
+                l = max(lt, ln)
+
+                def _pad(a, fill=0):
+                    pad = [(0, 0), (0, l - a.shape[1])] + [
+                        (0, 0)
+                    ] * (a.ndim - 2)
+                    return jnp.pad(a, pad, constant_values=fill)
+
+                txt, mask = _pad(txt), _pad(mask, False)
+                neg_txt, neg_mask = _pad(neg_txt), _pad(neg_mask, False)
         else:
             neg_txt, neg_mask = txt, mask
 

@@ -51,13 +51,32 @@ class InferenceEngine:
         config: Optional[StreamConfig] = None,
         seed: int = 0,
         warmup_runs: int = 1,
+        transformer_path: Optional[str] = None,
+        vae_path: Optional[str] = None,
+        vl_path: Optional[str] = None,
+        lora_path: Optional[str] = None,
         **kw,
     ) -> "InferenceEngine":
+        """Build the serving pipeline. With transformer_path+vae_path the
+        engine serves real converted weights (EditPipeline.from_checkpoint);
+        otherwise random-init (reference server.py:66-79 loads from the HF
+        hub — the converted-orbax equivalent here)."""
         from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
             EditPipeline,
         )
 
-        pipe = EditPipeline.create(preset, config=config, seed=seed, **kw)
+        if transformer_path or vae_path:
+            if not (transformer_path and vae_path):
+                raise ValueError(
+                    "checkpoint serving needs BOTH transformer_path and "
+                    "vae_path (vl_path/lora_path optional)"
+                )
+            pipe = EditPipeline.from_checkpoint(
+                transformer_path, vae_path, preset=preset, config=config,
+                vl_path=vl_path, lora_path=lora_path, **kw,
+            )
+        else:
+            pipe = EditPipeline.create(preset, config=config, seed=seed, **kw)
         eng = cls(pipeline=pipe,
                   default_steps=pipe.config.num_inference_steps)
         if warmup_runs:

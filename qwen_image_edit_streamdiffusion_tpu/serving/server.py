@@ -190,6 +190,14 @@ def main(argv=None):
     ap.add_argument("--steps", type=int,
                     default=int(os.environ.get("QIE_STEPS", "2")))
     ap.add_argument("--no-warmup", action="store_true")
+    # Converted-orbax checkpoints (models.checkpoint CLI output). Without
+    # these the server runs random-init weights (ADVICE r1: the wire-
+    # compatible server must be able to serve real converted weights).
+    ap.add_argument("--transformer",
+                    default=os.environ.get("QIE_CKPT_TRANSFORMER"))
+    ap.add_argument("--vae", default=os.environ.get("QIE_CKPT_VAE"))
+    ap.add_argument("--vl", default=os.environ.get("QIE_CKPT_VL"))
+    ap.add_argument("--lora", default=os.environ.get("QIE_CKPT_LORA"))
     args = ap.parse_args(argv)
 
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
@@ -224,6 +232,8 @@ def main(argv=None):
         args.preset, config=config,
         warmup_runs=0 if args.no_warmup else 1,
         mesh=mesh,
+        transformer_path=args.transformer, vae_path=args.vae,
+        vl_path=args.vl, lora_path=args.lora,
     )
     engine.queue_requests = os.environ.get("QIE_QUEUE", "") == "1"
     print(f"Ready. Serving on http://{args.host}:{args.port} "
