@@ -97,11 +97,32 @@ def conv2d_init(key, in_ch: int, out_ch: int, kernel: int = 3,
     }
 
 
+def _pallas_conv_enabled() -> bool:
+    import os
+
+    if os.environ.get("QIE_PALLAS_CONV", "1") != "1":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
            padding: str | Sequence[Tuple[int, int]] = "SAME") -> jnp.ndarray:
-    """NHWC conv with HWIO weights — XLA's native TPU conv layout."""
+    """NHWC conv with HWIO weights — XLA's native TPU conv layout.
+
+    Small-channel stride-1 SAME 3×3 convs (the VAE's full-resolution
+    stages) route to the Pallas kernel in ops/conv.py, which runs them
+    1.3-1.6× faster than XLA's lowering; QIE_PALLAS_CONV=0 disables."""
+    w = p["w"].astype(x.dtype)
+    if _pallas_conv_enabled():
+        from qwen_image_edit_streamdiffusion_tpu.ops import conv as pconv
+
+        if pconv.supported(x, w, stride, padding):
+            return pconv.conv3x3(x, w, p["b"].astype(x.dtype))
     y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
+        x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
