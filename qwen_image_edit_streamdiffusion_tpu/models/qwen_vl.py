@@ -570,24 +570,28 @@ class QwenVLEncoder:
             self.params["lm"], embeds, jnp.asarray(cos_np),
             jnp.asarray(sin_np), jnp.asarray(attn_mask)
         )
-        out = np.asarray(hidden[drop_len:n_real], np.float32)
-
-        if out.shape[0] > self.max_len:
+        # Stay on device: fetching the (L, hidden) embeddings to host costs
+        # ~60 ms over the axon tunnel for the 7B config and the pipeline
+        # puts them straight back on device anyway. Slicing/padding are
+        # async dispatches; the mask is host-derived (static lengths).
+        n = n_real - drop_len
+        if n > self.max_len:
             import warnings
 
             warnings.warn(
-                f"prompt conditioning truncated {out.shape[0]} → "
-                f"{self.max_len} tokens (vision spans + instruction exceed "
-                "max_len)", stacklevel=2,
+                f"prompt conditioning truncated {n} → {self.max_len} "
+                "tokens (vision spans + instruction exceed max_len)",
+                stacklevel=2,
             )
-            out = out[: self.max_len]
-        n = out.shape[0]
+            n = self.max_len
         # Bucket the *output* length too (64-token granularity, capped at
         # max_len): the denoise graph is keyed on txt_len, so this bounds
         # retraces while keeping short prompts cheap in joint attention.
         l_out = min(self.max_len, max(64, -(-n // 64) * 64))
-        embeds_out = np.zeros((l_out, cfg.hidden_size), np.float32)
-        embeds_out[:n] = out
+        embeds_out = jnp.pad(
+            hidden[drop_len:drop_len + n].astype(jnp.float32),
+            ((0, l_out - n), (0, 0)),
+        )
         mask = np.zeros((l_out,), bool)
         mask[:n] = True
         return PromptEmbedding(embeds=embeds_out, mask=mask)

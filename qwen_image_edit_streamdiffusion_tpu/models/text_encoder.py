@@ -44,11 +44,13 @@ SYSTEM_PROMPT = (
 class PromptEmbedding(NamedTuple):
     """Fixed-length prompt conditioning.
 
-    embeds: (L, joint_dim) float32/bf16
+    embeds: (L, joint_dim) float32/bf16 — np OR device array (the native
+            VL encoder keeps embeddings on device; fetching them to host
+            costs ~60 ms over the axon tunnel for nothing)
     mask:   (L,) bool — True at real token positions
     """
 
-    embeds: np.ndarray
+    embeds: "np.ndarray | object"
     mask: np.ndarray
 
 

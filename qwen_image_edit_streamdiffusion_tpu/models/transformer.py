@@ -226,8 +226,10 @@ def _joint_attention(
         img_ones = jnp.ones((b, img.shape[1]), dtype=bool)
         kv_mask = jnp.concatenate([txt_mask.astype(bool), img_ones], axis=1)
 
+    # only the bucketed text prefix can hold padded keys — the flash
+    # kernel skips mask work on all image k-blocks
     out = attention(q, k, v, kv_mask=kv_mask, use_flash=use_flash,
-                    mesh=mesh)
+                    mesh=mesh, mask_len=txt.shape[1])
     out = _unheads(out)
     lt = txt.shape[1]
     txt_attn = linear(p["txt_out"], out[:, :lt])

@@ -52,6 +52,7 @@ def sharded_flash_attention(
     kv_mask: Optional[jnp.ndarray],
     mesh,
     interpret: bool = False,
+    mask_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention under tensor parallelism.
 
@@ -77,7 +78,7 @@ def sharded_flash_attention(
 
     fn = jax.shard_map(
         lambda q_, k_, v_, m_: fa.flash_attention(
-            q_, k_, v_, kv_mask=m_, interpret=interpret
+            q_, k_, v_, kv_mask=m_, interpret=interpret, mask_len=mask_len
         ),
         mesh=mesh,
         in_specs=(qspec, qspec, qspec, mspec),
@@ -100,19 +101,24 @@ def attention(
     kv_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
     mesh=None,
+    mask_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Joint-stream attention entry point used by the transformer.
 
     Routes to the Pallas TPU flash kernel when available (TPU backend,
     shapes meet the kernel's tiling constraints) — shard_mapped over heads
     when a tensor-parallel mesh is active; otherwise the XLA reference
-    path. Both paths are numerically f32-accumulated.
+    path. Both paths are numerically f32-accumulated. mask_len: static
+    bound on the maskable key prefix (see flash_attention).
     """
     if use_flash and _on_tpu():
         from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention
 
         if _tp_active(mesh, q):
-            return sharded_flash_attention(q, k, v, kv_mask, mesh)
+            return sharded_flash_attention(q, k, v, kv_mask, mesh,
+                                           mask_len=mask_len)
         if flash_attention.supported(q, k, v):
-            return flash_attention.flash_attention(q, k, v, kv_mask=kv_mask)
+            return flash_attention.flash_attention(
+                q, k, v, kv_mask=kv_mask, mask_len=mask_len
+            )
     return reference_attention(q, k, v, kv_mask=kv_mask)

@@ -27,12 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
-DEFAULT_BLOCK_Q = 256
+# 512/512 measured fastest at the 1024² joint shape (7.3 ms vs 7.6 at
+# 256/512; smaller k-blocks are strictly worse — the kernel is bound by
+# f32 score traffic through VMEM, so fewer/larger blocks win)
+DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
-                  num_heads):
+                  num_heads, n_masked_lo, n_unmasked_hi):
     """One (batch·head, q-block) program: online softmax over k blocks.
 
     q_ref: (1, bq, D); k_ref/v_ref: (1, Lk, D); o_ref: (1, bq, D);
@@ -40,6 +43,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
     the TPU tiling rule (second-to-last block dim must be 8-divisible or
     equal the array dim) whenever B > 1, so each program takes the whole
     (tiny) mask and row-indexes by batch = program // num_heads.
+
+    The softmax is VPU-bound, so per-element work is pruned statically:
+    - both dots run bf16-in/f32-accumulate on the MXU (no f32 upcasts);
+    - masking applies only to k-blocks that can contain invalid keys —
+      [0, n_masked_lo) (the bucketed text prefix; image keys are always
+      valid) and [n_unmasked_hi, nk) (block-size padding) — the bulk of
+      the image blocks skip the select entirely.
     """
     bq = q_ref.shape[1]
     d = q_ref.shape[2]
@@ -47,42 +57,66 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
     nk = lk // block_k
     batch_row = pl.program_id(0) // num_heads
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
+    # pre-scale once; cast back so the QK^T dot is a bf16 MXU pass
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
 
-    def body(j, carry):
-        acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, D)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k_blk.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, bk)
-        # int8 sublane loads can't use a dynamic row index (Mosaic needs a
-        # provable multiple-of-4); load all B rows and select arithmetically
-        mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]  # (B, bk)
-        rows = jax.lax.broadcasted_iota(jnp.int32, mask_all.shape, 0)
-        mask_blk = jnp.max(
-            jnp.where(rows == batch_row, mask_all.astype(jnp.int32), 0),
-            axis=0,
-        )  # (bk,)
-        s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
+    def make_body(masked):
+        def body(j, carry):
+            acc, m, l = carry
+            k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, D)
+            v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, bk) f32
+            if masked:
+                # int8 sublane loads can't use a dynamic row index (Mosaic
+                # needs a provable multiple-of-4); load all B rows and
+                # select arithmetically
+                mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, mask_all.shape, 0
+                )
+                mask_blk = jnp.max(
+                    jnp.where(rows == batch_row,
+                              mask_all.astype(jnp.int32), 0),
+                    axis=0,
+                )  # (bk,)
+                s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)  # (bq, bk)
-        alpha = jnp.exp(m - m_new)  # (bq, 1)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc_new, m_new, l_new
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            # exp at the VALUE precision (p multiplies bf16 V anyway, and
+            # was cast to it before the dot regardless): for bf16 inputs
+            # this halves the vregs through the transcendental + sum —
+            # the kernel's VPU bottleneck. f32 inputs keep exact math.
+            p = jnp.exp((s - m_new).astype(v_blk.dtype))  # (bq, bk)
+            alpha = jnp.exp(m - m_new)  # (bq, 1)
+            l_new = l * alpha + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+        return body
+
+    carry = (
+        jnp.zeros((bq, d), jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((bq, 1), jnp.float32),
+    )
+    carry = jax.lax.fori_loop(0, n_masked_lo, make_body(True), carry)
+    carry = jax.lax.fori_loop(
+        n_masked_lo, max(n_masked_lo, n_unmasked_hi), make_body(False), carry
+    )
+    carry = jax.lax.fori_loop(
+        max(n_masked_lo, n_unmasked_hi), nk, make_body(True), carry
+    )
+    acc, m, l = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -108,7 +142,7 @@ def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "mask_len")
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -118,10 +152,14 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    mask_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """q,k,v: (B, H, L, D); kv_mask: (B, Lk) bool (True = attend).
 
-    Returns (B, H, Lq, D) in q's dtype.
+    mask_len: static upper bound on the key prefix that can contain
+    invalid positions (the joint stream is [txt ⊕ img] and only the
+    bucketed text prefix is ever padded). None = no bound (every block
+    applies the mask). Returns (B, H, Lq, D) in q's dtype.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -133,17 +171,26 @@ def flash_attention(
     kp = _pad_to(k.reshape(b * h, lk, d), 1, bk)
     vp = _pad_to(v.reshape(b * h, lk, d), 1, bk)
     lq_p, lk_p = qp.shape[1], kp.shape[1]
+    nk = lk_p // bk
 
     if kv_mask is None:
         kv_mask = jnp.ones((b, lk), bool)
+        bound = 0 if mask_len is None else mask_len
+    else:
+        bound = lk if mask_len is None else mask_len
     mask = _pad_to(kv_mask.astype(jnp.int8), 1, bk)  # (B, Lk_p)
+
+    n_masked_lo = min(nk, -(-bound // bk))
+    # block-size padding at the tail (padded via mask=0) must stay masked
+    n_unmasked_hi = nk - 1 if lk_p > lk else nk
 
     grid = (b * h, lq_p // bq)
     scale = d ** -0.5
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=bk,
-                          num_heads=h),
+                          num_heads=h, n_masked_lo=n_masked_lo,
+                          n_unmasked_hi=n_unmasked_hi),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
         grid=grid,
         in_specs=[

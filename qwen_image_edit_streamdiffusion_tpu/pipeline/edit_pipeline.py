@@ -543,7 +543,9 @@ class EditPipeline:
         pixels, latents = self._vae_decode_fn((zh, zw))(
             self.vae_params, final_tokens
         )
-        pixels = np.asarray(jax.block_until_ready(pixels))  # uint8 NHWC
+        from qwen_image_edit_streamdiffusion_tpu.runtime.fetch import fetch
+
+        pixels = fetch(pixels)  # uint8 NHWC; chunk-parallel device→host
         out_images = [
             Image.fromarray(pixels[i]) for i in range(pixels.shape[0])
         ]
