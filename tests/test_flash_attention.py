@@ -9,6 +9,7 @@ from qwen_image_edit_streamdiffusion_tpu.ops.attention import (
     reference_attention,
 )
 from qwen_image_edit_streamdiffusion_tpu.ops.flash_attention import (
+    fits_resident,
     flash_attention,
     supported,
 )
@@ -60,6 +61,50 @@ def test_supported_gate():
     assert supported(q, k, v)
     q2, k2, v2 = _qkv(1, 1, 64, 64, 96)
     assert not supported(q2, k2, v2)  # head_dim not lane-aligned
-    # K/V too large for VMEM residence
+    # K/V too large for VMEM residence → streaming kernel, still supported
     big_k = jnp.zeros((1, 1, 40000, 128), jnp.float32)
-    assert not supported(q, big_k, big_k)
+    assert not fits_resident(big_k)
+    assert supported(q, big_k, big_k)
+
+
+@pytest.mark.parametrize("lq,lk", [(256, 512), (300, 700)])
+def test_streaming_kernel_matches_reference(lq, lk):
+    # the HBM-streaming variant (multi-condition-image 1024² shapes whose
+    # K/V exceed the resident kernel's VMEM budget), forced at small size
+    b, h, d = 1, 2, 128
+    q, k, v = _qkv(b, h, lq, lk, d, seed=3)
+    mask = jnp.asarray(np.random.default_rng(1).random((b, lk)) > 0.2)
+    ref = reference_attention(q, k, v, kv_mask=mask)
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                          block_q=128, block_k=128, stream=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_mask_len_prune_matches():
+    b, h, lq, lk, d = 1, 1, 256, 640, 128
+    q, k, v = _qkv(b, h, lq, lk, d, seed=4)
+    # only the first 130 keys can be invalid (txt prefix semantics)
+    m = np.ones((b, lk), bool)
+    m[:, 40:130] = False
+    mask = jnp.asarray(m)
+    ref = reference_attention(q, k, v, kv_mask=mask)
+    for stream in (False, True):
+        out = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                              block_q=128, block_k=128, mask_len=130,
+                              stream=stream)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_fallback_warns_once():
+    from qwen_image_edit_streamdiffusion_tpu.ops import attention as am
+
+    q = jnp.zeros((1, 1, 8, 96), jnp.float32)
+    am._warned_shapes.clear()
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        am._warn_fallback_once(q)
+        am._warn_fallback_once(q)
+    assert len(w) == 1 and "flash attention unsupported" in str(w[0].message)
