@@ -374,9 +374,14 @@ def int8_linear(x: jnp.ndarray, q: QuantizedLinear,
 
     Default path is XLA (row-wise activation quant + native int8 dot):
     measured end-to-end on v5e it holds within ~6% of bf16 at 50% weight
-    memory, while the current fused Pallas kernel loses ~25% to redundant
-    per-n-block activation quantization (round-2 rework). Set
-    QIE_INT8_PALLAS=1 to use the Pallas kernel.
+    memory; the fused Pallas v2 kernel (quantize-once, int8-resident)
+    matches it. Set QIE_INT8_PALLAS=1 to use the Pallas kernel.
+
+    int8 is the MEMORY option, not a speed path, by measurement: the bf16
+    GEMMs already run at ~89% of MXU peak and are compute- (not HBM-)
+    bound, while attention — the majority of the model call — is bound by
+    f32 score traffic that int8 weights cannot touch. Full roofline
+    numbers in CLAUDE.md ("int8 roofline decision").
     """
     if use_pallas is None:
         import os
