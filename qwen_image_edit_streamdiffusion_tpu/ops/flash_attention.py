@@ -26,6 +26,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+# softmax runs in the base-2 domain: log2(e) is folded into the one-time q
+# prescale so the per-element transcendental is exp2 (one VPU op) instead
+# of exp (which lowers to exp2 + a multiply per element)
+_LOG2E = 1.4426950408889634
 
 # 512/512 measured fastest at the 1024² joint shape (7.3 ms vs 7.6 at
 # 256/512; smaller k-blocks are strictly worse — the kernel is bound by
@@ -57,8 +61,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
     nk = lk // block_k
     batch_row = pl.program_id(0) // num_heads
 
-    # pre-scale once; cast back so the QK^T dot is a bf16 MXU pass
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # pre-scale once (softmax scale · log2e → base-2 softmax domain); cast
+    # back so the QK^T dot is a bf16 MXU pass
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
 
     def make_body(masked):
         def body(j, carry):
@@ -86,12 +91,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
                 s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            # exp at the VALUE precision (p multiplies bf16 V anyway, and
+            # exp2 at the VALUE precision (p multiplies bf16 V anyway, and
             # was cast to it before the dot regardless): for bf16 inputs
             # this halves the vregs through the transcendental + sum —
             # the kernel's VPU bottleneck. f32 inputs keep exact math.
-            p = jnp.exp((s - m_new).astype(v_blk.dtype))  # (bq, bk)
-            alpha = jnp.exp(m - m_new)  # (bq, 1)
+            p = jnp.exp2((s - m_new).astype(v_blk.dtype))  # (bq, bk)
+            alpha = jnp.exp2(m - m_new)  # (bq, 1)
             l_new = l * alpha + jnp.sum(
                 p, axis=-1, keepdims=True, dtype=jnp.float32
             )
@@ -146,14 +151,17 @@ def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
 
 # --------------------------------------------------------------------------
 # HBM-streaming variant: K/V stay in HBM and stream through a double-
-# buffered VMEM slot pair, once per (head, q-superblock) — for joint
+# buffered VMEM slot pair, once per (head, q-block) — for joint
 # sequences whose K/V exceed the resident kernel's VMEM budget
 # (VERDICT r1 weak #5: the multi-condition-image 1024² shape silently
-# lost the flash win). Accumulators persist in VMEM scratch across the
-# k loop; q is tiled inside the program.
+# lost the flash win). One q block per program: q rounds up only to the
+# block size (a 4096-row superblock grouping measured 23% padding waste
+# at L=12544), and the per-block K/V re-stream is fully hidden by the
+# double buffer (~8 µs DMA vs ~60 µs of dots per k-block).
 # --------------------------------------------------------------------------
 
-Q_SUPER = 4096  # q rows per program: bounds acc scratch at 2 MB f32
+DEFAULT_STREAM_BLOCK_Q = 512  # less q padding waste at non-multiple L
+DEFAULT_STREAM_BLOCK_K = 1024  # measured 10.9 ms @L=12544 vs 19.3 at bk=512
 
 
 def _kv_dma(kv_hbm, kv_v, sem, bh, j, slot, which, block_k):
@@ -164,23 +172,19 @@ def _kv_dma(kv_hbm, kv_v, sem, bh, j, slot, which, block_k):
 
 
 def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
-                      kv_v, acc_v, m_v, l_v, sem, *,
-                      block_q, block_k, num_heads,
+                      kv_v, sem, *, block_k, num_heads,
                       n_masked_lo, n_unmasked_hi):
-    """q_ref/o_ref: (1, QS, D) VMEM; k_hbm/v_hbm: (BH, Lk, D) in HBM;
-    kv_v: (2, 2, bk, D); acc_v: (nq, bq, D) f32; m_v/l_v: (nq, bq, 1).
-    q arrives pre-scaled (q · d^-1/2 folded in by the caller)."""
+    """q_ref/o_ref: (1, bq, D) VMEM; k_hbm/v_hbm: (BH, Lk, D) in HBM;
+    kv_v: (2, 2, bk, D) double-buffered K/V slots. Online-softmax carry
+    lives in registers (same as the resident kernel). q arrives pre-scaled
+    (d^-1/2 · log2e folded in by the caller)."""
     bh = pl.program_id(0)
     lk = k_hbm.shape[1]
-    qs = q_ref.shape[1]
     d = q_ref.shape[2]
-    nq = qs // block_q
     nk = lk // block_k
     batch_row = bh // num_heads
 
-    acc_v[...] = jnp.zeros_like(acc_v)
-    m_v[...] = jnp.full_like(m_v, _NEG_INF)
-    l_v[...] = jnp.zeros_like(l_v)
+    q = q_ref[0]  # (bq, D)
 
     def start(j, slot):
         _kv_dma(k_hbm, kv_v, sem, bh, j, slot, 0, block_k).start()
@@ -195,7 +199,8 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
         start(0, 0)
 
     def make_body(masked):
-        def body(j, _):
+        def body(j, carry):
+            acc, m, l = carry
             slot = jax.lax.rem(j, 2)
 
             @pl.when(j + 1 < nk)
@@ -205,6 +210,11 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
             wait(j, slot)
             k_blk = kv_v[slot, 0]  # (bk, D)
             v_blk = kv_v[slot, 1]
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             if masked:
                 mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]
                 rows = jax.lax.broadcasted_iota(
@@ -215,50 +225,38 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
                               mask_all.astype(jnp.int32), 0),
                     axis=0,
                 )  # (bk,)
+                s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
 
-            def q_loop(qi, __):
-                q_blk = q_ref[0, pl.ds(qi * block_q, block_q), :]
-                s = jax.lax.dot_general(
-                    q_blk, k_blk,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if masked:
-                    s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
-                m_old = m_v[qi]  # (bq, 1)
-                m_new = jnp.maximum(
-                    m_old, jnp.max(s, axis=-1, keepdims=True)
-                )
-                p = jnp.exp((s - m_new).astype(v_blk.dtype))
-                alpha = jnp.exp(m_old - m_new)
-                l_v[qi] = l_v[qi] * alpha + jnp.sum(
-                    p, axis=-1, keepdims=True, dtype=jnp.float32
-                )
-                acc_v[qi] = acc_v[qi] * alpha + jax.lax.dot_general(
-                    p, v_blk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_v[qi] = m_new
-                return __
-
-            return jax.lax.fori_loop(0, nq, q_loop, _)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2((s - m_new).astype(v_blk.dtype))
+            alpha = jnp.exp2(m - m_new)
+            l_new = l * alpha + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc_new, m_new, l_new
 
         return body
 
-    jax.lax.fori_loop(0, n_masked_lo, make_body(True), 0)
-    jax.lax.fori_loop(
-        n_masked_lo, max(n_masked_lo, n_unmasked_hi), make_body(False), 0
+    bq = q_ref.shape[1]
+    carry = (
+        jnp.zeros((bq, d), jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((bq, 1), jnp.float32),
     )
-    jax.lax.fori_loop(max(n_masked_lo, n_unmasked_hi), nk, make_body(True), 0)
-
-    def out_loop(qi, _):
-        o_ref[0, pl.ds(qi * block_q, block_q), :] = (
-            acc_v[qi] / jnp.maximum(l_v[qi], 1e-30)
-        ).astype(o_ref.dtype)
-        return _
-
-    jax.lax.fori_loop(0, nq, out_loop, 0)
+    carry = jax.lax.fori_loop(0, n_masked_lo, make_body(True), carry)
+    carry = jax.lax.fori_loop(
+        n_masked_lo, max(n_masked_lo, n_unmasked_hi), make_body(False), carry
+    )
+    carry = jax.lax.fori_loop(
+        max(n_masked_lo, n_unmasked_hi), nk, make_body(True), carry
+    )
+    acc, m, l = carry
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -270,8 +268,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     mask_len: Optional[int] = None,
     stream: Optional[bool] = None,
@@ -283,13 +281,19 @@ def flash_attention(
     bucketed text prefix is ever padded). None = no bound (every block
     applies the mask). stream: force (True) / forbid (False) the
     HBM-streaming kernel; None picks by K/V VMEM footprint.
-    Returns (B, H, Lq, D) in q's dtype.
+    block_q/block_k: None = per-variant measured defaults (512/512
+    resident, 512/1024 streaming). Returns (B, H, Lq, D) in q's dtype.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
 
-    bq = min(block_q, max(128, 1 << (lq - 1).bit_length()))
-    bk = min(block_k, max(128, 1 << (lk - 1).bit_length()))
+    resident = not stream if stream is not None else fits_resident(k)
+    if resident:
+        bq_def, bk_def = DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
+    else:
+        bq_def, bk_def = DEFAULT_STREAM_BLOCK_Q, DEFAULT_STREAM_BLOCK_K
+    bq = min(block_q or bq_def, max(128, 1 << (lq - 1).bit_length()))
+    bk = min(block_k or bk_def, max(128, 1 << (lk - 1).bit_length()))
 
     qp = _pad_to(q.reshape(b * h, lq, d), 1, bq)
     kp = _pad_to(k.reshape(b * h, lk, d), 1, bk)
@@ -315,9 +319,6 @@ def flash_attention(
         transcendentals=b * h * lq_p * lk_p,
     )
 
-    resident = not stream if stream is not None else fits_resident(
-        k.reshape(b, h, lk, d)
-    )
     if resident:
         out = pl.pallas_call(
             functools.partial(_flash_kernel, scale=scale, block_k=bk,
@@ -343,32 +344,27 @@ def flash_attention(
         )(qp, kp, vp, mask)
         return out[:, :lq].reshape(b, h, lq, d)
 
-    # streaming variant: pad q to a Q_SUPER multiple, pre-fold the scale
-    qs = min(Q_SUPER, lq_p)
-    qp = _pad_to(qp, 1, qs)
-    lq_p = qp.shape[1]
-    qp = (qp.astype(jnp.float32) * scale).astype(q.dtype)
+    # streaming variant: pre-fold the scale (· log2e — the kernel's softmax
+    # runs in the base-2 domain)
+    qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel_hbm, block_q=bq, block_k=bk,
+        functools.partial(_flash_kernel_hbm, block_k=bk,
                           num_heads=h, n_masked_lo=n_masked_lo,
                           n_unmasked_hi=n_unmasked_hi),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-        grid=(b * h, lq_p // qs),
+        grid=(b * h, lq_p // bq),
         in_specs=[
-            pl.BlockSpec((1, qs, d), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
             pl.BlockSpec((b, lk_p), lambda bh, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, qs, d), lambda bh, qi: (bh, qi, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 2, bk, d), q.dtype),
-            pltpu.VMEM((qs // bq, bq, d), jnp.float32),
-            pltpu.VMEM((qs // bq, bq, 1), jnp.float32),
-            pltpu.VMEM((qs // bq, bq, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=cost,
