@@ -262,6 +262,8 @@ def bench_stream(args):
         vae_image_area=args.size * args.size,
         vl_image_area=min(384 * 384, args.size * args.size),
         keyframe_interval=10,
+        # realtime video display is chroma-subsampled anyway: ship 4:2:0
+        transfer_format="yuv420",
     )
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
     rt.precompute_conditions("Transform into oil painting style")
@@ -273,8 +275,73 @@ def bench_stream(args):
           "target 10-20, qwen_realtime.py:15)")
 
 
+def bench_serve(args):
+    """HTTP p50/p90 of POST /edit through the real wire path (base64 JPEG
+    in/out, 512² input like the reference client, App.js:117-135) — fast
+    mode and true-CFG mode. Makes the README p50 claim reproducible."""
+    import base64
+    import io
+    import json
+    import statistics
+    import threading
+    import urllib.request
+
+    from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+        InferenceEngine,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.serving.server import make_server
+
+    config = StreamConfig(
+        width=args.size, height=args.size,
+        num_inference_steps=args.steps, model_preset=args.preset,
+        transfer_format="yuv420",
+    )
+    engine = InferenceEngine.create(args.preset, config=config, seed=0,
+                                    warmup_runs=1)
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/edit",
+                json.dumps(body).encode(),
+                {"Content-Type": "application/json"},
+            )
+            t0 = time.time()
+            resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+            assert resp["status"] == "success", resp
+            return time.time() - t0
+
+        n = max(5, args.runs)
+        for mode, extra in (("fast", {}),
+                            ("cfg", {"use_cfg": True,
+                                     "negative_prompt": "blurry, low quality"})):
+            ts = []
+            for i in range(n + 1):
+                img = imaging.make_test_image(512, 512, "gradient")
+                buf = io.BytesIO()
+                img.save(buf, "JPEG", quality=90)
+                body = {
+                    "image": base64.b64encode(buf.getvalue()).decode(),
+                    "prompt": f"Transform into oil painting style #{i}",
+                    "num_inference_steps": args.steps, **extra,
+                }
+                dt = post(body)
+                if i > 0:  # first request compiles/warms the bucket
+                    ts.append(dt)
+            ts.sort()
+            p50 = statistics.median(ts)
+            p90 = ts[min(len(ts) - 1, int(0.9 * len(ts)))]
+            print(f"  /edit {mode:<4} p50 {p50:.3f}s  p90 {p90:.3f}s  "
+                  f"(n={len(ts)}, distinct prompts → cache-miss path)")
+    finally:
+        srv.shutdown()
+
+
 BENCHES = {
     "smoke": bench_smoke,
+    "serve": bench_serve,
     "minimal": bench_minimal,
     "device_speed": bench_device_speed,
     "quantized": bench_quantized,

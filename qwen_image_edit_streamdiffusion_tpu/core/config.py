@@ -183,6 +183,14 @@ class StreamConfig:
     # (unit-test double; excludes prompt-encode compute from any timing).
     use_vl_encoder: bool = True
 
+    # Device→host image transfer format:
+    #   "rgb"    — exact uint8 RGB (library default)
+    #   "yuv420" — on-device YCbCr 4:2:0 planes, half the bytes over the
+    #              tunnel; lossless relative to the JPEG-q90 wire format
+    #              and to video display (ops/colorspace.py). Server and
+    #              realtime-stream entry points default to this.
+    transfer_format: str = "rgb"
+
     # Optimization flags
     use_flash_attention: bool = True  # Pallas flash attention (TPU only)
     use_int8: bool = False  # fused int8 quantize+GEMM+dequant weights

@@ -47,6 +47,7 @@ from qwen_image_edit_streamdiffusion_tpu.core.config import (
 from qwen_image_edit_streamdiffusion_tpu.core.rng import key_from_seed, stream
 from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
 from qwen_image_edit_streamdiffusion_tpu.models import vae as vae_mod
+from qwen_image_edit_streamdiffusion_tpu.ops import colorspace
 from qwen_image_edit_streamdiffusion_tpu.models import scheduler as sched
 from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
     PromptEncoder,
@@ -248,11 +249,16 @@ class EditPipeline:
     # Jitted stages (cached per static key)
     # ------------------------------------------------------------------
 
-    def _vae_encode_fn(self, hw: Tuple[int, int]):
-        """uint8 HWC image → packed condition tokens, one jit: on-device
+    def _vae_encode_fn(self, hw: Tuple[int, int], in_fmt: str = "rgb"):
+        """uint8 image → packed condition tokens, one jit: on-device
         normalization (¼ the host→device bytes of f32), VAE encode, 2×2
-        packing, model-dtype cast — a single dispatch on the wire."""
-        key = ("vae_encode", hw)
+        packing, model-dtype cast — a single dispatch on the wire.
+
+        in_fmt="rgb" takes uint8 (B, H, W, 3); in_fmt="yuv420" takes the
+        packed 4:2:0 buffer from :func:`ops.colorspace.pack_yuv420_host`
+        (half the host→device bytes — the upload twin of the decode-side
+        transfer format) and converts to RGB on-device."""
+        key = ("vae_encode", hw, in_fmt)
         if key not in self._jit_cache:
             cfg = self.preset.vae
             mdt = jnp.dtype(self.preset.model.dtype)
@@ -261,7 +267,11 @@ class EditPipeline:
 
             @jax.jit
             def run(params, img_u8):
-                img = (img_u8.astype(jnp.float32) / 127.5 - 1.0).astype(vdt)
+                if in_fmt == "yuv420":
+                    x32 = colorspace.yuv420_to_rgb(img_u8)
+                else:
+                    x32 = img_u8.astype(jnp.float32)
+                img = (x32 / 127.5 - 1.0).astype(vdt)
                 z = vae_mod.encode(params, cfg, img)
                 return tfm.pack_latents(z.astype(jnp.float32)).astype(mdt)
 
@@ -269,10 +279,13 @@ class EditPipeline:
         return self._jit_cache[key]
 
     def _vae_decode_fn(self, hw: Tuple[int, int]):
-        """final packed tokens → (uint8 HWC image, f32 latents), one jit:
-        unpack, VAE decode, fused [-1,1]→[0,255] epilogue (¼ the
-        device→host bytes). Latents are returned for the temporal cache."""
-        key = ("vae_decode", hw)
+        """final packed tokens → (pixels, f32 latents), one jit: unpack,
+        VAE decode, fused [-1,1]→[0,255] epilogue. Pixels are uint8 HWC
+        (¼ the device→host bytes of f32), or YCbCr 4:2:0 planes (half the
+        bytes again) when config.transfer_format="yuv420" — fetch them
+        with :meth:`_fetch_images`. Latents feed the temporal cache."""
+        fmt = self.config.transfer_format
+        key = ("vae_decode", hw, fmt)
         if key not in self._jit_cache:
             cfg = self.preset.vae
             zh, zw = hw
@@ -285,10 +298,26 @@ class EditPipeline:
                 x = vae_mod.decode(params, cfg, z.astype(vdt))
                 x32 = x.astype(jnp.float32)
                 x32 = jnp.clip((x32 * 0.5 + 0.5) * 255.0 + 0.5, 0.0, 255.0)
+                if fmt == "yuv420":
+                    return colorspace.rgb_to_yuv420(x32), z
                 return x32.astype(jnp.uint8), z
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _fetch_images(self, pixels) -> List[Image.Image]:
+        """Fetch a decode result to host PIL images (chunk-parallel over
+        the tunnel; see runtime/fetch.py) in either transfer format."""
+        from qwen_image_edit_streamdiffusion_tpu.runtime.fetch import fetch
+
+        if self.config.transfer_format == "yuv420":
+            packed = fetch(pixels)  # (B, H/2, W/2, 6) uint8, one transfer
+            return [
+                colorspace.yuv420_to_rgb_image(packed[i])
+                for i in range(packed.shape[0])
+            ]
+        arr = fetch(pixels)  # uint8 NHWC
+        return [Image.fromarray(arr[i]) for i in range(arr.shape[0])]
 
     def _noise_fn(self, shape: Tuple[int, ...]):
         """seeded packed-noise tokens in one jitted dispatch."""
@@ -439,12 +468,21 @@ class EditPipeline:
 
     def encode_condition_latents(self, vae_images: List[np.ndarray]):
         """VAE-encode condition images (posterior mode) → packed tokens +
-        their (1, h/2, w/2) rope shapes."""
+        their (1, h/2, w/2) rope shapes. With transfer_format="yuv420" the
+        upload ships 4:2:0 planes (half the tunnel bytes; JPEG inputs were
+        4:2:0 on the wire already)."""
         tokens = []
         shapes = []
+        yuv = self.config.transfer_format == "yuv420"
         for arr in vae_images:
-            x = jnp.asarray(arr, jnp.uint8)[None]  # (1, H, W, 3)
-            tokens.append(self._vae_encode_fn(x.shape[1:3])(self.vae_params, x))
+            hw = arr.shape[:2]
+            if yuv:
+                x = jnp.asarray(colorspace.pack_yuv420_host(arr))[None]
+                enc = self._vae_encode_fn(hw, "yuv420")
+            else:
+                x = jnp.asarray(arr, jnp.uint8)[None]  # (1, H, W, 3)
+                enc = self._vae_encode_fn(hw)
+            tokens.append(enc(self.vae_params, x))
             zh, zw = arr.shape[0] // 8, arr.shape[1] // 8
             shapes.append((1, zh // 2, zw // 2))
         if len(tokens) == 1:
@@ -543,12 +581,7 @@ class EditPipeline:
         pixels, latents = self._vae_decode_fn((zh, zw))(
             self.vae_params, final_tokens
         )
-        from qwen_image_edit_streamdiffusion_tpu.runtime.fetch import fetch
-
-        pixels = fetch(pixels)  # uint8 NHWC; chunk-parallel device→host
-        out_images = [
-            Image.fromarray(pixels[i]) for i in range(pixels.shape[0])
-        ]
+        out_images = self._fetch_images(pixels)
         return EditResult(
             images=out_images, latents=latents, elapsed=time.time() - t_start
         )

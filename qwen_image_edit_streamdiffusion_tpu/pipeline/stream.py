@@ -121,12 +121,13 @@ class RealtimePipeline:
         pass (the reference realtime path always runs true CFG,
         qwen_realtime.py:250-253)."""
         p = self.pipe
+        fmt = self.config.transfer_format  # both upload and fetch direction
         key = ("stream_fused", kind, hw_in, zh, zw, tuple(cond_shapes),
-               txt_len, steps, start, use_cfg)
+               txt_len, steps, start, use_cfg, fmt)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
-        enc = p._vae_encode_fn(hw_in)
+        enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb")
         dec = p._vae_decode_fn((zh, zw))
         img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
         run = p._denoise_fn(1, img_shapes, txt_len, steps,
@@ -222,8 +223,14 @@ class RealtimePipeline:
                    and cfgc.true_cfg_scale > 1.0)
 
         arr = vae_images[0]
-        frame_u8 = jnp.asarray(arr, jnp.uint8)[None]
-        hw_in = frame_u8.shape[1:3]
+        hw_in = arr.shape[:2]
+        if cfgc.transfer_format == "yuv420":
+            # half the host→device bytes per camera frame (ops/colorspace.py)
+            from qwen_image_edit_streamdiffusion_tpu.ops import colorspace
+
+            frame_u8 = jnp.asarray(colorspace.pack_yuv420_host(arr))[None]
+        else:
+            frame_u8 = jnp.asarray(arr, jnp.uint8)[None]
         czh, czw = arr.shape[0] // 8, arr.shape[1] // 8
         cond_shapes = [(1, czh // 2, czw // 2)]
         zh, zw = out_h // 8, out_w // 8
@@ -246,9 +253,8 @@ class RealtimePipeline:
         self.prev_latent = latents
         return pixels
 
-    @staticmethod
-    def _collect(pixels) -> Image.Image:
-        return Image.fromarray(np.asarray(jax.block_until_ready(pixels))[0])
+    def _collect(self, pixels) -> Image.Image:
+        return self.pipe._fetch_images(pixels)[0]
 
     def _fused_frame(self, frame: Image.Image, steps: int) -> Image.Image:
         """Single-dispatch frame: encode → denoise → decode in one graph."""

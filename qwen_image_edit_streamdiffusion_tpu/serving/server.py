@@ -200,6 +200,15 @@ def main(argv=None):
     ap.add_argument("--lora", default=os.environ.get("QIE_CKPT_LORA"))
     args = ap.parse_args(argv)
 
+    # Honor JAX_PLATFORMS even where a sitecustomize pre-registered an
+    # ambient accelerator plugin via jax.config (env vars alone don't
+    # override a config default; tests/conftest.py has the same recipe).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
 
     size = os.environ.get("QIE_SIZE")
@@ -208,6 +217,9 @@ def main(argv=None):
         model_preset=args.preset,
         width=int(size) if size else None,
         height=int(size) if size else None,
+        # /edit delivers JPEG q=90 (4:2:0) — ship 4:2:0 planes over the
+        # device→host link, half the transfer at identical wire fidelity
+        transfer_format=os.environ.get("QIE_TRANSFER", "yuv420"),
     )
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 

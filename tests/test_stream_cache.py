@@ -87,6 +87,27 @@ def test_temporal_latent_carried(rt):
     assert rt.prev_latent.shape == (1, 8, 8, 16)
 
 
+def test_stream_yuv420_transfer_roundtrip():
+    """The fused frame graph with transfer_format="yuv420" (half the
+    tunnel bytes in BOTH directions) stays visually equivalent to rgb:
+    luma must match closely, chroma within subsampling error."""
+    rt = RealtimePipeline.create(
+        "tiny", config=TINY_STREAM.replace(transfer_format="yuv420"), seed=0
+    )
+    rt.precompute_conditions("oil painting style")
+    rt2 = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+    rt2.precompute_conditions("oil painting style")
+    frame = imaging.make_test_image(64, 64, "gradient")
+    a = np.asarray(rt.process_frame(frame), np.float32)
+    b = np.asarray(rt2.process_frame(frame), np.float32)
+    ya = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    yb = 0.299 * b[..., 0] + 0.587 * b[..., 1] + 0.114 * b[..., 2]
+    # the input 4:2:0 repack perturbs cond latents slightly, so allow a
+    # small mean luma drift; gross divergence means a broken un/pack
+    assert np.abs(ya - yb).mean() < 8.0
+    assert np.isfinite(a).all()
+
+
 def test_stream_freezes_prompt_conditions():
     """CachedConditions semantics: precompute once, zero per-frame encodes
     (the reference's intended cache, qwen_realtime.py:69-89)."""
