@@ -74,7 +74,8 @@ def main(argv=None):
 
     shape = (args.b, args.heads, args.l, args.d)
     key = jax.random.PRNGKey(0)
-    kq, kk, kv = jax.random.split(key, 3)
+    ks3 = jax.random.split(key, 3)
+    kq, kk, kv = ks3[0], ks3[1], ks3[2]
     q = jax.random.normal(kq, shape, jnp.bfloat16)
     k = jax.random.normal(kk, shape, jnp.bfloat16)
     v = jax.random.normal(kv, shape, jnp.bfloat16)

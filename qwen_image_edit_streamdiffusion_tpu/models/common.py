@@ -30,7 +30,11 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.bfloat16,
                 bias: bool = True) -> Params:
     """Kaiming-uniform (torch nn.Linear default) so random-init statistics
     match what a converted torch checkpoint would look like."""
-    kw, kb = jax.random.split(key)
+    # index, don't unpack: tuple-unpacking a device array iterates it,
+    # which blocks on a device->host fetch (a full tunnel RTT) PER
+    # parameter at init time; indexing stays async on device
+    ks = jax.random.split(key)
+    kw, kb = ks[0], ks[1]
     scale = (1.0 / in_dim) ** 0.5
     p = {"w": _uniform_init(kw, (in_dim, out_dim), scale, dtype)}
     if bias:
@@ -88,7 +92,8 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
 
 def conv2d_init(key, in_ch: int, out_ch: int, kernel: int = 3,
                 dtype=jnp.float32) -> Params:
-    kw, kb = jax.random.split(key)
+    ks = jax.random.split(key)
+    kw, kb = ks[0], ks[1]
     fan_in = in_ch * kernel * kernel
     scale = (1.0 / fan_in) ** 0.5
     return {

@@ -365,7 +365,8 @@ def convert_vl(state: Dict[str, np.ndarray], cfg: VLConfig, dtype=None) -> Dict:
             f"(e.g. {missing[:3]}), {len(unused)} unused (e.g. {unused[:3]})"
         )
     key = jax.random.PRNGKey(0)
-    kv, kl = jax.random.split(key)
+    ksp = jax.random.split(key)
+    kv, kl = ksp[0], ksp[1]
     tree = {"vision": qwen_vl.vision_init(kv, cfg),
             "lm": qwen_vl.lm_init(kl, cfg)}
     for tk, (path, kind) in key_map.items():

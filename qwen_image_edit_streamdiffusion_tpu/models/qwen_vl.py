@@ -59,7 +59,8 @@ def _swiglu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _swiglu_init(key, dim: int, hidden: int, dtype, bias: bool = False) -> Params:
-    k1, k2, k3 = jax.random.split(key, 3)
+    ks3 = jax.random.split(key, 3)
+    k1, k2, k3 = ks3[0], ks3[1], ks3[2]
     return {
         "gate": linear_init(k1, dim, hidden, dtype, bias=bias),
         "up": linear_init(k2, dim, hidden, dtype, bias=bias),
@@ -87,7 +88,7 @@ def vision_init(key: jax.Array, cfg: VLConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     d = cfg.vision_hidden
     patch_in = 3 * cfg.temporal_patch_size * cfg.patch_size * cfg.patch_size
-    ks = iter(jax.random.split(key, 4 + 4 * cfg.vision_depth))
+    ks = iter(np.asarray(jax.random.split(key, 4 + 4 * cfg.vision_depth)))
     blocks = []
     for _ in range(cfg.vision_depth):
         blocks.append({
@@ -214,7 +215,7 @@ def lm_init(key: jax.Array, cfg: VLConfig) -> Params:
     d = cfg.hidden_size
     hd = d // cfg.num_heads
     kv_dim = cfg.num_kv_heads * hd
-    ks = iter(jax.random.split(key, 6 + 6 * cfg.num_layers))
+    ks = iter(np.asarray(jax.random.split(key, 6 + 6 * cfg.num_layers)))
     emb_scale = 0.02
     embed = (jax.random.normal(next(ks), (cfg.vocab_size, d), jnp.float32)
              * emb_scale).astype(dtype)
@@ -466,7 +467,8 @@ class QwenVLEncoder:
         self.drop_idx = drop_idx
         if params is None:
             key = jax.random.PRNGKey(seed)
-            kv, kl = jax.random.split(key)
+            ksp = jax.random.split(key)
+            kv, kl = ksp[0], ksp[1]
             params = {"vision": vision_init(kv, cfg), "lm": lm_init(kl, cfg)}
         self.params = params
         self.tokenizer = tokenizer or SimpleTokenizer(cfg.vocab_size)

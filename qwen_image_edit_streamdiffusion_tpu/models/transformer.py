@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qwen_image_edit_streamdiffusion_tpu.core.config import ModelConfig
 from qwen_image_edit_streamdiffusion_tpu.models.common import (
@@ -78,7 +79,7 @@ def unpack_latents(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 def _block_init(key, cfg: ModelConfig, dtype) -> Params:
     d = cfg.inner_dim
-    ks = iter(jax.random.split(key, 16))
+    ks = iter(np.asarray(jax.random.split(key, 16)))
     attn = {
         "img_q": linear_init(next(ks), d, d, dtype),
         "img_k": linear_init(next(ks), d, d, dtype),

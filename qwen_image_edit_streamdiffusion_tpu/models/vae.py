@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qwen_image_edit_streamdiffusion_tpu.core.config import VAEConfig
 from qwen_image_edit_streamdiffusion_tpu.models.common import (
@@ -70,7 +71,8 @@ def _resblock(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _attnblock_init(key, ch: int, dtype) -> Params:
-    k1, k2 = jax.random.split(key)
+    ks2 = jax.random.split(key)
+    k1, k2 = ks2[0], ks2[1]
     return {
         "norm": {"scale": jnp.ones((ch,), dtype)},
         "qkv": conv2d_init(k1, ch, 3 * ch, 1, dtype),
@@ -135,7 +137,9 @@ def init(key: jax.Array, cfg: VAEConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     dims = _stage_dims(cfg)  # e.g. (96, 96, 192, 384, 384)
     z = cfg.latent_channels
-    keys = iter(jax.random.split(key, 256))
+    # one host fetch of the whole key table: iterating a device array
+    # fetches chunk-by-chunk, paying a tunnel RTT per init param group
+    keys = iter(np.asarray(jax.random.split(key, 256)))
 
     # --- encoder ---
     enc: Params = {"conv_in": conv2d_init(next(keys), 3, dims[0], 3, dtype)}
