@@ -17,6 +17,8 @@ scripts (SURVEY.md §2.1/§3.5) as one CLI.
 | cfg_quality       | compare_cfg_quality.py (side-by-side CFG outputs)     |
 | cache             | cached_pipeline_v2.py / test_vlm_cache.py (hit/miss)  |
 | stream            | qwen_realtime.py run_benchmark (fps, temporal cache)  |
+| realtime          | qwen_realtime.py camera mode (cv2 loop / sine fallback)|
+| serve             | HTTP /edit p50/p90 through the real wire path         |
 
 Timing methodology mirrors the reference (§3.5): warmup runs, then
 synchronize-bracketed timed runs (block_until_ready), avg/min/max printed.
@@ -275,6 +277,30 @@ def bench_stream(args):
           "target 10-20, qwen_realtime.py:15)")
 
 
+def bench_realtime(args):
+    """Camera mode (reference qwen_realtime.py main: webcam → edit → dual
+    cv2 windows with stats overlay; synthetic sine pattern without a
+    camera). --runs bounds the frame count so it terminates headless."""
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+
+    config = StreamConfig(
+        width=args.size, height=args.size,
+        num_inference_steps=args.steps, model_preset=args.preset,
+        vae_image_area=args.size * args.size,
+        vl_image_area=min(384 * 384, args.size * args.size),
+        keyframe_interval=10,
+        transfer_format="yuv420",
+    )
+    rt = RealtimePipeline.create(args.preset, config=config, seed=0)
+    rt.precompute_conditions("Transform into oil painting style")
+    rt.run_camera_loop(max_frames=max(3, args.runs))
+    stats = rt.get_stats()
+    print(f"  realtime loop: {stats.get('fps', 0):.2f} fps over "
+          f"{stats.get('frame_count', 0)} frames")
+
+
 def bench_serve(args):
     """HTTP p50/p90 of POST /edit through the real wire path (base64 JPEG
     in/out, 512² input like the reference client, App.js:117-135) — fast
@@ -342,6 +368,7 @@ def bench_serve(args):
 BENCHES = {
     "smoke": bench_smoke,
     "serve": bench_serve,
+    "realtime": bench_realtime,
     "minimal": bench_minimal,
     "device_speed": bench_device_speed,
     "quantized": bench_quantized,

@@ -326,9 +326,16 @@ class RealtimePipeline:
             out.save("benchmark_output.png")
         return fps
 
-    def run_camera_loop(self, max_frames: Optional[int] = None) -> None:
+    def run_camera_loop(self, max_frames: Optional[int] = None,
+                        pipelined: bool = True) -> None:
         """Webcam loop (reference qwen_realtime.py:304-387). Falls back to
-        the animated sine test pattern when no camera/cv2 is available."""
+        the animated sine test pattern when no camera/cv2 is available.
+
+        pipelined=True (default) overlaps frame N+1's host prep + dispatch
+        with frame N's device compute — the same ~1.8× throughput win as
+        :meth:`run_benchmark`, at one frame of display latency (a standard
+        webcam-preview tradeoff). pipelined=False shows each frame fully
+        synchronously."""
         try:
             import cv2  # noqa: F401
             cap = cv2.VideoCapture(self.config.camera_id)
@@ -343,6 +350,8 @@ class RealtimePipeline:
         interval = 1.0 / self.config.target_fps
         n = 0
         last = time.time()
+        pending = None
+        pending_src = None
         try:
             while max_frames is None or n < max_frames:
                 if have_cv:
@@ -352,7 +361,17 @@ class RealtimePipeline:
                     frame = Image.fromarray(bgr[:, :, ::-1])
                 else:
                     frame = imaging.make_test_image(w, h, "sine")
-                out = self.process_frame(frame)
+                if pipelined:
+                    t0 = time.time()
+                    nxt = self.submit_frame(frame)
+                    if pending is None:  # prime: collect the first frame
+                        pending, pending_src = nxt, frame
+                        continue
+                    out = self._collect(pending)
+                    self.inference_times.append(time.time() - t0)
+                    frame, (pending, pending_src) = pending_src, (nxt, frame)
+                else:
+                    out = self.process_frame(frame)
                 stats = self.get_stats()
                 if have_cv and cv2 is not None:
                     disp = np.asarray(out)[:, :, ::-1].copy()

@@ -87,6 +87,20 @@ def test_temporal_latent_carried(rt):
     assert rt.prev_latent.shape == (1, 8, 8, 16)
 
 
+def test_camera_loop_headless(rt, capsys):
+    """run_camera_loop without cv2/camera: sine-pattern fallback, bounded
+    frames, stats printed — both pipelined (submit/collect overlap) and
+    sequential paths terminate and produce frames."""
+    rt.frame_count = 0
+    rt.prev_latent = None
+    rt.run_camera_loop(max_frames=3, pipelined=True)
+    out = capsys.readouterr().out
+    assert out.count("frame ") == 3 and "fps" in out
+    rt.run_camera_loop(max_frames=2, pipelined=False)
+    out = capsys.readouterr().out
+    assert out.count("frame ") == 2
+
+
 def test_stream_yuv420_transfer_roundtrip():
     """The fused frame graph with transfer_format="yuv420" (half the
     tunnel bytes in BOTH directions) stays visually equivalent to rgb:
