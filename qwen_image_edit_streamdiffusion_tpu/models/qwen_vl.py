@@ -88,7 +88,8 @@ def vision_init(key: jax.Array, cfg: VLConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     d = cfg.vision_hidden
     patch_in = 3 * cfg.temporal_patch_size * cfg.patch_size * cfg.patch_size
-    ks = iter(np.asarray(jax.random.split(key, 4 + 4 * cfg.vision_depth)))
+    _kt = jax.random.split(key, 4 + 4 * cfg.vision_depth)
+    ks = (_kt[i] for i in range(_kt.shape[0]))
     blocks = []
     for _ in range(cfg.vision_depth):
         blocks.append({
@@ -215,7 +216,8 @@ def lm_init(key: jax.Array, cfg: VLConfig) -> Params:
     d = cfg.hidden_size
     hd = d // cfg.num_heads
     kv_dim = cfg.num_kv_heads * hd
-    ks = iter(np.asarray(jax.random.split(key, 6 + 6 * cfg.num_layers)))
+    _kt = jax.random.split(key, 6 + 6 * cfg.num_layers)
+    ks = (_kt[i] for i in range(_kt.shape[0]))
     emb_scale = 0.02
     embed = (jax.random.normal(next(ks), (cfg.vocab_size, d), jnp.float32)
              * emb_scale).astype(dtype)
@@ -466,10 +468,7 @@ class QwenVLEncoder:
         # from the tokenized TEMPLATE_PREFIX (equal for the real tokenizer).
         self.drop_idx = drop_idx
         if params is None:
-            key = jax.random.PRNGKey(seed)
-            ksp = jax.random.split(key)
-            kv, kl = ksp[0], ksp[1]
-            params = {"vision": vision_init(kv, cfg), "lm": lm_init(kl, cfg)}
+            params = init_jit(jax.random.PRNGKey(seed), cfg)
         self.params = params
         self.tokenizer = tokenizer or SimpleTokenizer(cfg.vocab_size)
         self._jit_cache: Dict = {}
@@ -626,3 +625,12 @@ def _positions_from_ids(cfg: VLConfig, ids: List[int],
             pos += 1
             i += 1
     return np.stack([np.asarray(ts), np.asarray(hs), np.asarray(ws)])
+
+
+def _init_all(key: jax.Array, cfg: VLConfig) -> Params:
+    ksp = jax.random.split(key)
+    return {"vision": vision_init(ksp[0], cfg), "lm": lm_init(ksp[1], cfg)}
+
+
+# single-dispatch init (see models/transformer.py init_jit)
+init_jit = jax.jit(_init_all, static_argnums=1)

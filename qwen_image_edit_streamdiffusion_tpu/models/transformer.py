@@ -79,7 +79,8 @@ def unpack_latents(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 def _block_init(key, cfg: ModelConfig, dtype) -> Params:
     d = cfg.inner_dim
-    ks = iter(np.asarray(jax.random.split(key, 16)))
+    _kt = jax.random.split(key, 16)
+    ks = (_kt[i] for i in range(16))
     attn = {
         "img_q": linear_init(next(ks), d, d, dtype),
         "img_k": linear_init(next(ks), d, d, dtype),
@@ -309,3 +310,11 @@ def forward(
     out = out * (1.0 + scale[:, None, :]).astype(out.dtype) \
         + shift[:, None, :].astype(out.dtype)
     return linear(params["proj_out"], out)
+
+
+# One-dispatch init: the eager path issues one tiny device op per parameter
+# tensor, each paying the remote-accelerator per-op overhead (hundreds of
+# ops per model). The jitted wrapper collapses a whole model's init into a
+# single executable, and the persistent compile cache makes warm restarts a
+# disk read. Same keys -> bit-identical params either way.
+init_jit = jax.jit(init, static_argnums=1)

@@ -137,9 +137,11 @@ def init(key: jax.Array, cfg: VAEConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     dims = _stage_dims(cfg)  # e.g. (96, 96, 192, 384, 384)
     z = cfg.latent_channels
-    # one host fetch of the whole key table: iterating a device array
-    # fetches chunk-by-chunk, paying a tunnel RTT per init param group
-    keys = iter(np.asarray(jax.random.split(key, 256)))
+    # index the key table, never iterate/unpack it: device-array
+    # iteration blocks on per-chunk host fetches (a tunnel RTT each)
+    # and would break under jit tracing
+    _kt = jax.random.split(key, 256)
+    keys = (_kt[i] for i in range(256))
 
     # --- encoder ---
     enc: Params = {"conv_in": conv2d_init(next(keys), 3, dims[0], 3, dtype)}
@@ -261,3 +263,7 @@ def decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
     x = jax.nn.silu(_channel_rms(p["norm_out"], x))
     x = conv2d(p["conv_out"], x)
     return jnp.clip(x, -1.0, 1.0)
+
+
+# single-dispatch init (see models/transformer.py init_jit)
+init_jit = jax.jit(init, static_argnums=1)

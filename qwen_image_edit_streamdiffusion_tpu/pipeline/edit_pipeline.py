@@ -128,8 +128,8 @@ class EditPipeline:
             preset = get_preset(preset)
         config = config or StreamConfig(model_preset=preset.name)
         key = key_from_seed(seed)
-        tfm_params = tfm.init(stream(key, "transformer"), preset.model)
-        vae_params = vae_mod.init(stream(key, "vae"), preset.vae)
+        tfm_params = tfm.init_jit(stream(key, "transformer"), preset.model)
+        vae_params = vae_mod.init_jit(stream(key, "vae"), preset.vae)
         if config.fuse_qkv and mesh is None:
             from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
 
