@@ -65,9 +65,15 @@ def yuv420_to_rgb(packed: jnp.ndarray) -> jnp.ndarray:
 
 def pack_yuv420_host(arr: np.ndarray) -> np.ndarray:
     """Host-side RGB uint8 (H, W, 3), H/W even → packed uint8
-    (H/2, W/2, 6) in :func:`rgb_to_yuv420` layout. YCbCr conversion runs
-    in Pillow's C converter; chroma is 2×2 box-averaged in uint16 (exact,
-    matching the device encoder's filter)."""
+    (H/2, W/2, 6) in :func:`rgb_to_yuv420` layout. Native C++ when built
+    (~6× the PIL+numpy fallback on one core — this runs per stream frame);
+    fallback: Pillow's C YCbCr converter + uint16 2×2 box-averaged chroma
+    (the device encoder's filter)."""
+    from qwen_image_edit_streamdiffusion_tpu.runtime import native_ops
+
+    native = native_ops.yuv420_pack(arr)
+    if native is not None:
+        return native
     from PIL import Image
 
     ycc = np.asarray(Image.fromarray(arr).convert("YCbCr"))
@@ -84,11 +90,16 @@ def pack_yuv420_host(arr: np.ndarray) -> np.ndarray:
 def yuv420_to_rgb_image(packed: np.ndarray):
     """Host-side reconstruction: uint8 (H/2, W/2, 6) → RGB PIL image.
 
-    Chroma is nearest-upsampled (what libjpeg does on decode) and the
-    YCbCr→RGB matrix runs in Pillow's C converter.
+    Native C++ when built; fallback: nearest chroma upsample (what libjpeg
+    does on decode) + Pillow's C YCbCr→RGB converter.
     """
     from PIL import Image
 
+    from qwen_image_edit_streamdiffusion_tpu.runtime import native_ops
+
+    native = native_ops.yuv420_unpack(np.ascontiguousarray(packed))
+    if native is not None:
+        return Image.fromarray(native)
     h2, w2, _ = packed.shape
     h, w = 2 * h2, 2 * w2
     y = (packed[..., :4].reshape(h2, w2, 2, 2)

@@ -143,4 +143,68 @@ void qie_f32_to_u8(const float* src, uint8_t* dst, long n) {
   }
 }
 
+// --------------------------------------------------------------------------
+// YCbCr 4:2:0 transfer-format pack/unpack (ops/colorspace.py layout:
+// (h/2, w/2, 6) = 2x2 luma block row-major + box-averaged Cb, Cr).
+// These run once per stream frame on the host thread; the PIL+numpy
+// fallback costs ~13 ms + ~12 ms per 512^2 frame on one core — a
+// meaningful slice of the pipelined frame budget. Fixed-point BT.601
+// full-range (libjpeg constants), matching the device kernels within
+// rounding.
+// --------------------------------------------------------------------------
+
+// RGB uint8 (h, w, 3), h/w even → packed (h/2, w/2, 6).
+void qie_yuv420_pack(const uint8_t* rgb, int h, int w, uint8_t* out) {
+  const int h2 = h / 2, w2 = w / 2;
+  for (int by = 0; by < h2; ++by) {
+    uint8_t* orow = out + static_cast<size_t>(by) * w2 * 6;
+    const uint8_t* r0 = rgb + static_cast<size_t>(2 * by) * w * 3;
+    const uint8_t* r1 = r0 + static_cast<size_t>(w) * 3;
+    for (int bx = 0; bx < w2; ++bx) {
+      const uint8_t* p[4] = {r0 + 2 * bx * 3, r0 + (2 * bx + 1) * 3,
+                             r1 + 2 * bx * 3, r1 + (2 * bx + 1) * 3};
+      int cb_sum = 0, cr_sum = 0;
+      uint8_t* o = orow + bx * 6;
+      for (int i = 0; i < 4; ++i) {
+        const int r = p[i][0], g = p[i][1], b = p[i][2];
+        const int y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16;
+        const int cb =
+            ((-11056 * r - 21712 * g + 32768 * b + 32768) >> 16) + 128;
+        const int cr =
+            ((32768 * r - 27440 * g - 5328 * b + 32768) >> 16) + 128;
+        o[i] = static_cast<uint8_t>(std::clamp(y, 0, 255));
+        cb_sum += std::clamp(cb, 0, 255);
+        cr_sum += std::clamp(cr, 0, 255);
+      }
+      o[4] = static_cast<uint8_t>((cb_sum + 2) >> 2);
+      o[5] = static_cast<uint8_t>((cr_sum + 2) >> 2);
+    }
+  }
+}
+
+// packed (h2, w2, 6) → RGB uint8 (2*h2, 2*w2, 3), nearest chroma upsample.
+void qie_yuv420_unpack(const uint8_t* packed, int h2, int w2, uint8_t* rgb) {
+  const int w = 2 * w2;
+  for (int by = 0; by < h2; ++by) {
+    const uint8_t* prow = packed + static_cast<size_t>(by) * w2 * 6;
+    uint8_t* r0 = rgb + static_cast<size_t>(2 * by) * w * 3;
+    uint8_t* r1 = r0 + static_cast<size_t>(w) * 3;
+    for (int bx = 0; bx < w2; ++bx) {
+      const uint8_t* o = prow + bx * 6;
+      const int cb = o[4] - 128, cr = o[5] - 128;
+      const int dr = (91881 * cr + 32768) >> 16;
+      const int dg = (22554 * cb + 46802 * cr + 32768) >> 16;
+      const int db = (116130 * cb + 32768) >> 16;
+      uint8_t* q[4] = {r0 + 2 * bx * 3, r0 + (2 * bx + 1) * 3,
+                       r1 + 2 * bx * 3, r1 + (2 * bx + 1) * 3};
+      for (int i = 0; i < 4; ++i) {
+        const int y = o[i];
+        q[i][0] = static_cast<uint8_t>(std::clamp(y + dr, 0, 255));
+        q[i][1] = static_cast<uint8_t>(std::clamp(y - dg, 0, 255));
+        q[i][2] = static_cast<uint8_t>(std::clamp(y + db, 0, 255));
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -47,6 +47,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.qie_blend.argtypes = [u8, u8, u8, ctypes.c_long, ctypes.c_float]
         lib.qie_u8_to_f32_norm.argtypes = [u8, f32, ctypes.c_long]
         lib.qie_f32_to_u8.argtypes = [f32, u8, ctypes.c_long]
+        lib.qie_yuv420_pack.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8]
+        lib.qie_yuv420_unpack.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8]
         _lib = lib
     except OSError:
         _lib = None
@@ -107,6 +109,33 @@ def to_model_array(img: np.ndarray) -> np.ndarray:
         return img.astype(np.float32) / 255.0 * 2.0 - 1.0
     out = np.empty(img.shape, np.float32)
     lib.qie_u8_to_f32_norm(_u8ptr(img), _f32ptr(out), img.size)
+    return out
+
+
+def yuv420_pack(img: np.ndarray) -> "np.ndarray | None":
+    """RGB uint8 (H, W, 3), H/W even → packed 4:2:0 uint8 (H/2, W/2, 6)
+    in the ops/colorspace.py layout. None when the library isn't built
+    (caller falls back to the PIL+numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, _ = img.shape
+    out = np.empty((h // 2, w // 2, 6), np.uint8)
+    lib.qie_yuv420_pack(_u8ptr(img), h, w, _u8ptr(out))
+    return out
+
+
+def yuv420_unpack(packed: np.ndarray) -> "np.ndarray | None":
+    """Packed 4:2:0 uint8 (H/2, W/2, 6) → RGB uint8 (H, W, 3); None when
+    the library isn't built."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    h2, w2, _ = packed.shape
+    out = np.empty((2 * h2, 2 * w2, 3), np.uint8)
+    lib.qie_yuv420_unpack(_u8ptr(packed), h2, w2, _u8ptr(out))
     return out
 
 

@@ -55,3 +55,34 @@ def test_float_roundtrip():
     assert f.dtype == np.float32 and f.min() >= -1.0 and f.max() <= 1.0
     back = native_ops.from_model_array(f)
     np.testing.assert_array_equal(back, img)
+
+
+def test_yuv420_pack_unpack_matches_pil_path():
+    """Native 4:2:0 pack/unpack ≈ the PIL+numpy fallback (±1 code) and
+    round-trips smooth images closely."""
+    if not native_ops.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    img = _img(32, 48, seed=7)
+    packed = native_ops.yuv420_pack(img)
+    assert packed.shape == (16, 24, 6)
+
+    ycc = np.asarray(Image.fromarray(img).convert("YCbCr"))
+    h, w = img.shape[:2]
+    y_blk = (ycc[..., 0].reshape(h // 2, 2, w // 2, 2)
+             .transpose(0, 2, 1, 3).reshape(h // 2, w // 2, 4))
+    c = ycc[..., 1:].astype(np.uint16)
+    cavg = ((c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2]
+             + c[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+    ref = np.concatenate([y_blk, cavg], axis=-1)
+    assert np.abs(packed.astype(int) - ref.astype(int)).max() <= 1
+
+    rgb = native_ops.yuv420_unpack(packed)
+    assert rgb.shape == img.shape
+    up = np.repeat(np.repeat(packed[..., 4:], 2, 0), 2, 1)
+    yv = (packed[..., :4].reshape(h // 2, w // 2, 2, 2)
+          .transpose(0, 2, 1, 3).reshape(h, w))
+    ref_rgb = np.asarray(Image.fromarray(
+        np.concatenate([yv[..., None], up], -1), "YCbCr").convert("RGB"))
+    assert np.abs(rgb.astype(int) - ref_rgb.astype(int)).max() <= 1
