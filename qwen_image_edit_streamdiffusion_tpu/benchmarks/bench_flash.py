@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
+
 from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention as fa
 
 
@@ -74,8 +76,7 @@ def main(argv=None):
 
     shape = (args.b, args.heads, args.l, args.d)
     key = jax.random.PRNGKey(0)
-    ks3 = jax.random.split(key, 3)
-    kq, kk, kv = ks3[0], ks3[1], ks3[2]
+    kq, kk, kv = split_keys(key, 3)
     q = jax.random.normal(kq, shape, jnp.bfloat16)
     k = jax.random.normal(kk, shape, jnp.bfloat16)
     v = jax.random.normal(kv, shape, jnp.bfloat16)

@@ -31,3 +31,16 @@ def stream(key: jax.Array, name: str) -> jax.Array:
 def frame_key(key: jax.Array, frame_index) -> jax.Array:
     """Per-frame noise key for the temporal stream loop."""
     return jax.random.fold_in(key, jnp.asarray(frame_index, jnp.uint32))
+
+
+def split_keys(key: jax.Array, n: int = 2):
+    """``jax.random.split`` + INDEXED access: ``k1, k2 = split_keys(key)``.
+
+    Never tuple-unpack or iterate a device key array directly — device-
+    array iteration blocks on a host fetch (a full round-trip on remote
+    accelerators) per element, which turned eager model init into minutes
+    of RTTs. Indexing stays async on device and traces cleanly under jit.
+    Returns a tuple of per-key device slices.
+    """
+    ks = jax.random.split(key, n)
+    return tuple(ks[i] for i in range(n))

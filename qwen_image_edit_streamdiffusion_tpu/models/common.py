@@ -19,6 +19,8 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
+
 Params = Dict[str, Any]
 
 
@@ -30,11 +32,7 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.bfloat16,
                 bias: bool = True) -> Params:
     """Kaiming-uniform (torch nn.Linear default) so random-init statistics
     match what a converted torch checkpoint would look like."""
-    # index, don't unpack: tuple-unpacking a device array iterates it,
-    # which blocks on a device->host fetch (a full tunnel RTT) PER
-    # parameter at init time; indexing stays async on device
-    ks = jax.random.split(key)
-    kw, kb = ks[0], ks[1]
+    kw, kb = split_keys(key)
     scale = (1.0 / in_dim) ** 0.5
     p = {"w": _uniform_init(kw, (in_dim, out_dim), scale, dtype)}
     if bias:
@@ -92,8 +90,7 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
 
 def conv2d_init(key, in_ch: int, out_ch: int, kernel: int = 3,
                 dtype=jnp.float32) -> Params:
-    ks = jax.random.split(key)
-    kw, kb = ks[0], ks[1]
+    kw, kb = split_keys(key)
     fan_in = in_ch * kernel * kernel
     scale = (1.0 / fan_in) ** 0.5
     return {

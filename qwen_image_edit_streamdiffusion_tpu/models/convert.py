@@ -27,6 +27,8 @@ from typing import Any, Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
+
 from qwen_image_edit_streamdiffusion_tpu.core.config import (
     ModelConfig,
     VAEConfig,
@@ -365,8 +367,7 @@ def convert_vl(state: Dict[str, np.ndarray], cfg: VLConfig, dtype=None) -> Dict:
             f"(e.g. {missing[:3]}), {len(unused)} unused (e.g. {unused[:3]})"
         )
     key = jax.random.PRNGKey(0)
-    ksp = jax.random.split(key)
-    kv, kl = ksp[0], ksp[1]
+    kv, kl = split_keys(key)
     tree = {"vision": qwen_vl.vision_init(kv, cfg),
             "lm": qwen_vl.lm_init(kl, cfg)}
     for tk, (path, kind) in key_map.items():

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
+
 from qwen_image_edit_streamdiffusion_tpu.core.config import VLConfig
 from qwen_image_edit_streamdiffusion_tpu.models.common import (
     Params,
@@ -59,8 +61,7 @@ def _swiglu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _swiglu_init(key, dim: int, hidden: int, dtype, bias: bool = False) -> Params:
-    ks3 = jax.random.split(key, 3)
-    k1, k2, k3 = ks3[0], ks3[1], ks3[2]
+    k1, k2, k3 = split_keys(key, 3)
     return {
         "gate": linear_init(k1, dim, hidden, dtype, bias=bias),
         "up": linear_init(k2, dim, hidden, dtype, bias=bias),
@@ -628,8 +629,8 @@ def _positions_from_ids(cfg: VLConfig, ids: List[int],
 
 
 def _init_all(key: jax.Array, cfg: VLConfig) -> Params:
-    ksp = jax.random.split(key)
-    return {"vision": vision_init(ksp[0], cfg), "lm": lm_init(ksp[1], cfg)}
+    kv, kl = split_keys(key)
+    return {"vision": vision_init(kv, cfg), "lm": lm_init(kl, cfg)}
 
 
 # single-dispatch init (see models/transformer.py init_jit)

@@ -27,7 +27,6 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qwen_image_edit_streamdiffusion_tpu.core.config import ModelConfig
 from qwen_image_edit_streamdiffusion_tpu.models.common import (

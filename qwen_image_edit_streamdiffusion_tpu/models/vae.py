@@ -26,7 +26,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
 
 from qwen_image_edit_streamdiffusion_tpu.core.config import VAEConfig
 from qwen_image_edit_streamdiffusion_tpu.models.common import (
@@ -71,8 +72,7 @@ def _resblock(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _attnblock_init(key, ch: int, dtype) -> Params:
-    ks2 = jax.random.split(key)
-    k1, k2 = ks2[0], ks2[1]
+    k1, k2 = split_keys(key)
     return {
         "norm": {"scale": jnp.ones((ch,), dtype)},
         "qkv": conv2d_init(k1, ch, 3 * ch, 1, dtype),

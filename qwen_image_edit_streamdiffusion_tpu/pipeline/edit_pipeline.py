@@ -297,10 +297,13 @@ class EditPipeline:
                 z = tfm.unpack_latents(tokens.astype(jnp.float32), zh, zw)
                 x = vae_mod.decode(params, cfg, z.astype(vdt))
                 x32 = x.astype(jnp.float32)
-                x32 = jnp.clip((x32 * 0.5 + 0.5) * 255.0 + 0.5, 0.0, 255.0)
+                x32 = jnp.clip((x32 * 0.5 + 0.5) * 255.0, 0.0, 255.0)
                 if fmt == "yuv420":
+                    # rgb_to_yuv420 applies its own +0.5 rounding bias —
+                    # feeding it the pre-rounded value would brighten luma
+                    # by one code for half of all pixel values
                     return colorspace.rgb_to_yuv420(x32), z
-                return x32.astype(jnp.uint8), z
+                return jnp.clip(x32 + 0.5, 0.0, 255.0).astype(jnp.uint8), z
 
             self._jit_cache[key] = run
         return self._jit_cache[key]

@@ -34,7 +34,12 @@ from PIL import Image
 
 from qwen_image_edit_streamdiffusion_tpu.core import imaging
 from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
-from qwen_image_edit_streamdiffusion_tpu.core.rng import frame_key, key_from_seed, stream
+from qwen_image_edit_streamdiffusion_tpu.core.rng import (
+    frame_key,
+    key_from_seed,
+    split_keys,
+    stream,
+)
 from qwen_image_edit_streamdiffusion_tpu.models import scheduler as sched
 from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
 from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import EditPipeline
@@ -144,7 +149,7 @@ class RealtimePipeline:
             return tfm.pack_latents(noise).astype(mdt)
 
         def make_x0_temporal(rng, prev, ns):
-            k1, k2 = jax.random.split(rng)
+            k1, k2 = split_keys(rng)
             prev32 = prev.astype(jnp.float32)
             prev32 = prev32 + ns * jax.random.normal(
                 k1, prev32.shape, jnp.float32
@@ -363,8 +368,13 @@ class RealtimePipeline:
                     frame = imaging.make_test_image(w, h, "sine")
                 if pipelined:
                     t0 = time.time()
-                    nxt = self.submit_frame(frame)
-                    if pending is None:  # prime: collect the first frame
+                    # don't dispatch a frame that will never be displayed
+                    last = max_frames is not None and n == max_frames - 1
+                    if last and pending is not None:
+                        nxt = None
+                    else:
+                        nxt = self.submit_frame(frame)
+                    if pending is None:  # prime: collect next iteration
                         pending, pending_src = nxt, frame
                         continue
                     out = self._collect(pending)

@@ -29,10 +29,19 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    _lib = _try_load(rebuild=not os.path.exists(_LIB_PATH))
+    if _lib is None and os.path.exists(_LIB_PATH):
+        # stale prebuilt library (e.g. missing a newly added symbol, which
+        # ctypes raises as AttributeError): rebuild once and retry
+        _lib = _try_load(rebuild=True)
+    return _lib
+
+
+def _try_load(rebuild: bool) -> Optional[ctypes.CDLL]:
+    if rebuild:
         try:
             subprocess.run(
-                ["make", "-C", _DIR],
+                ["make", "-B", "-C", _DIR],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
@@ -49,10 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.qie_f32_to_u8.argtypes = [f32, u8, ctypes.c_long]
         lib.qie_yuv420_pack.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8]
         lib.qie_yuv420_unpack.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8]
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def available() -> bool:

@@ -104,3 +104,24 @@ def test_bench_suite_stream_path():
 
     if os.path.exists("benchmark_output.png"):
         os.remove("benchmark_output.png")
+
+
+def test_bench_suite_serve_path(capsys):
+    """`suite serve` drives the real HTTP wire path (reference field names:
+    steps/use_cfg, server.py:43-50) and reports p50/p90 for both modes."""
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import suite
+
+    suite.main(["serve", "--preset", "tiny", "--size", "64",
+                "--steps", "1", "--runs", "1"])
+    out = capsys.readouterr().out
+    assert out.count("p50") == 2  # fast + cfg
+    assert "fast" in out and "cfg" in out
+
+
+def test_bench_suite_realtime_path(capsys):
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import suite
+
+    suite.main(["realtime", "--preset", "tiny", "--size", "64",
+                "--steps", "1", "--runs", "3"])
+    out = capsys.readouterr().out
+    assert "realtime loop:" in out

@@ -96,6 +96,8 @@ def test_camera_loop_headless(rt, capsys):
     rt.run_camera_loop(max_frames=3, pipelined=True)
     out = capsys.readouterr().out
     assert out.count("frame ") == 3 and "fps" in out
+    # exactly max_frames frames dispatched — no discarded in-flight frame
+    assert rt.frame_count == 3
     rt.run_camera_loop(max_frames=2, pipelined=False)
     out = capsys.readouterr().out
     assert out.count("frame ") == 2
