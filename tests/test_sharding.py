@@ -193,3 +193,34 @@ def test_sharded_flash_attention_matches_reference(tiny):
     out = sharded_flash_attention(q, k, v, mask, mesh, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_int8_tp_forward_matches_single_device(tiny):
+    """int8 weight quantization composes with TP sharding (the reference's
+    combined parallel_cfg_int8 configuration, README.md:129-130): the
+    quantized leaves (w_q int8 + per-channel scale) shard per the megatron
+    rules and the sharded forward matches the single-device int8 forward."""
+    from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+        quantize_transformer,
+    )
+
+    cfg, params = tiny
+    qparams = quantize_transformer(params)
+    img, txt, t, ropes = _forward(cfg, qparams)
+    ref = tfm.forward(qparams, cfg, img, txt, t, ropes, use_flash=False)
+
+    mesh = meshes.make_mesh(cfg_axis=1, model_axis=8)
+    sharded = sharding.shard_transformer_params(qparams, mesh)
+    wq = sharded["blocks"][0]["attn"]["img_q"]["w_q"]
+    assert wq.dtype == jnp.int8
+    assert len(wq.sharding.device_set) == 8
+    assert wq.sharding.shard_shape(wq.shape)[1] == wq.shape[1] // 8
+
+    f = jax.jit(lambda p, i, x, tt: tfm.forward(p, cfg, i, x, tt, ropes,
+                                                use_flash=False))
+    with jax.set_mesh(mesh):
+        out = f(sharded, img, txt, t)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        atol=1e-4, rtol=1e-3,
+    )
