@@ -91,7 +91,7 @@ def main(argv=None):
           f"{flops / ms / 1e9:6.1f} TF/s")
 
     for bq in (256, 512, 1024):
-        for bk in (256, 512, 1024):
+        for bk in (256, 512, 1024, 2048):
             fn = functools.partial(
                 fa.flash_attention, kv_mask=mask, block_q=bq, block_k=bk,
                 mask_len=args.mask_len, stream=args.stream or None,
