@@ -110,11 +110,31 @@ def main(argv=None):
     final = runN(pipe.tfm_params, x0 + 0, cond_tokens, txt, mask, txt, mask,
                  one)
     dec = pipe._vae_decode_fn((zh, zw))
-    _t("VAE decode", lambda: dec(pipe.vae_params, final))
 
-    px, _ = dec(pipe.vae_params, final)
+    # device time alone (1-element sync ≈ device + one RTT) vs device +
+    # the full pixel fetch — on a tunneled host the fetch dominates, and
+    # conflating them misattributes link bytes to VAE compute
+    def _dec_device():
+        px, _ = dec(pipe.vae_params, final)
+        np.asarray(px[0, 0, 0])
+    _dec_device()
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        _dec_device()
+        ts.append(time.time() - t0)
+    print(f"  {'VAE decode (device+RTT)':<28} {min(ts) * 1000:8.1f} ms "
+          "(min of 3, 1-elem sync)")
+    _t("VAE decode + pixel fetch", lambda: dec(pipe.vae_params, final))
+
     from PIL import Image
-    _t("device→host + PIL", lambda: Image.fromarray(np.asarray(px)[0]))
+
+    def _collect():
+        # fresh decode per rep: a fetched jax array caches its host copy,
+        # so re-fetching the same handle measures nothing
+        px, _ = dec(pipe.vae_params, final)
+        return Image.fromarray(np.asarray(px)[0])
+    _t("decode+fetch+PIL", _collect)
 
     _t("TOTAL end-to-end", lambda: pipe(
         img, "Transform into oil painting style",
