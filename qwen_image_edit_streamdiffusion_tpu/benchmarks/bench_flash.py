@@ -27,6 +27,9 @@ import numpy as np
 from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
 
 from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention as fa
+from qwen_image_edit_streamdiffusion_tpu.ops.attention import (
+    reference_attention,
+)
 
 
 def _time_fn(fn, q, k, v, iters, reps=3):
@@ -55,10 +58,7 @@ def _time_fn(fn, q, k, v, iters, reps=3):
 
 
 def xla_attention(q, k, v):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s * (q.shape[-1] ** -0.5), axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return reference_attention(q, k, v)
 
 
 def main(argv=None):

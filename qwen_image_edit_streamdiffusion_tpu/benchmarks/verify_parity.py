@@ -63,6 +63,7 @@ def _rng(seed: int) -> np.random.Generator:
 def compute_activations(
     preset_name: str = "tiny",
     params_override: Dict[str, object] | None = None,
+    components: set | None = None,
 ) -> Dict[str, np.ndarray]:
     """Deterministic module-level forwards.
 
@@ -70,6 +71,11 @@ def compute_activations(
     substitutes real converted weights for the synthetic seed-0 ones
     (hf mode); inputs stay the same seeded tensors either way so
     reference-derived goldens line up.
+    components: restrict the expensive model groups to this subset
+    (hf mode checks one component at a time — random-initializing and
+    forwarding the full 20B transformer for a VAE-only check would cost
+    minutes and memory for activations that get discarded). None = all;
+    the cheap pure-function groups (scheduler/pack/cfg) always run.
     """
     from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
     from qwen_image_edit_streamdiffusion_tpu.core.rng import key_from_seed, stream
@@ -101,22 +107,29 @@ def compute_activations(
     out["pack.unpacked_roundtrip"] = np.asarray(tfm.unpack_latents(packed, 8, 8))
 
     # transformer forward (RoPE, AdaLN, joint attention conventions)
+    want = components  # None = everything
     mcfg = preset.model
-    params = override.get("transformer") or tfm.init(
-        stream(key, "transformer"), mcfg
-    )
+    if want is not None and "transformer" not in want:
+        params = None
+    else:
+        params = override.get("transformer") or tfm.init(
+            stream(key, "transformer"), mcfg
+        )
     img_shapes = ((1, 4, 4), (1, 4, 4))
     txt_len = 16
     ropes = tfm.make_rope(mcfg, img_shapes, txt_len)
     out["transformer.rope_img_cos"] = np.asarray(ropes.img_cos, np.float32)
-    l_img = sum(f * h * w for f, h, w in img_shapes)
-    x = jnp.asarray(_rng(2).standard_normal((1, l_img, mcfg.in_channels)),
-                    jnp.float32).astype(mcfg.dtype)
-    txt = jnp.asarray(_rng(3).standard_normal((1, txt_len, mcfg.joint_dim)),
-                      jnp.float32).astype(mcfg.dtype)
-    t = jnp.asarray([500.0], jnp.float32)
-    v = tfm.forward(params, mcfg, x, txt, t, ropes, use_flash=False)
-    out["transformer.velocity"] = np.asarray(v, np.float32)
+    if params is not None:
+        l_img = sum(f * h * w for f, h, w in img_shapes)
+        x = jnp.asarray(
+            _rng(2).standard_normal((1, l_img, mcfg.in_channels)),
+            jnp.float32).astype(mcfg.dtype)
+        txt = jnp.asarray(
+            _rng(3).standard_normal((1, txt_len, mcfg.joint_dim)),
+            jnp.float32).astype(mcfg.dtype)
+        t = jnp.asarray([500.0], jnp.float32)
+        v = tfm.forward(params, mcfg, x, txt, t, ropes, use_flash=False)
+        out["transformer.velocity"] = np.asarray(v, np.float32)
 
     # norm-rescaled CFG combine
     pos = jnp.asarray(_rng(4).standard_normal((1, 8, 4)), jnp.float32)
@@ -124,21 +137,29 @@ def compute_activations(
     out["cfg.combined"] = np.asarray(combine_cfg(pos, neg, 4.0))
 
     # VAE encode moments + decode
-    vcfg = preset.vae
-    vparams = override.get("vae") or vae_mod.init(stream(key, "vae"), vcfg)
-    img = jnp.asarray(_rng(6).uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
-    img = img.astype(jnp.dtype(vcfg.dtype))
-    out["vae.moments"] = np.asarray(
-        vae_mod.encode_moments(vparams, vcfg, img), np.float32
-    )
-    zlat = jnp.asarray(
-        _rng(7).standard_normal((1, 4, 4, vcfg.latent_channels)), jnp.float32
-    ).astype(jnp.dtype(vcfg.dtype))
-    out["vae.decoded"] = np.asarray(
-        vae_mod.decode(vparams, vcfg, zlat), np.float32
-    )
+    if want is None or "vae" in want:
+        vcfg = preset.vae
+        vparams = override.get("vae") or vae_mod.init(
+            stream(key, "vae"), vcfg
+        )
+        img = jnp.asarray(
+            _rng(6).uniform(-1, 1, (1, 32, 32, 3)), jnp.float32
+        )
+        img = img.astype(jnp.dtype(vcfg.dtype))
+        out["vae.moments"] = np.asarray(
+            vae_mod.encode_moments(vparams, vcfg, img), np.float32
+        )
+        zlat = jnp.asarray(
+            _rng(7).standard_normal((1, 4, 4, vcfg.latent_channels)),
+            jnp.float32,
+        ).astype(jnp.dtype(vcfg.dtype))
+        out["vae.decoded"] = np.asarray(
+            vae_mod.decode(vparams, vcfg, zlat), np.float32
+        )
 
     # VL: vision tower + LM hidden states + chat template ids
+    if want is not None and "vl" not in want:
+        return out
     vlcfg = preset.vl
     enc = qwen_vl.QwenVLEncoder(vlcfg, params=override.get("vl"),
                                 seed=0, max_len=64)
@@ -164,6 +185,8 @@ def compare(
     """Returns a list of failure strings (empty = parity)."""
     failures = []
     for k in GOLDEN_KEYS:
+        if k not in got:
+            continue  # component skipped (hf mode subset)
         if k not in want:
             failures.append(f"{k}: missing from goldens")
             continue
@@ -243,7 +266,8 @@ def main(argv=None):
         print("hf mode needs at least one of --transformer/--vae/--vl")
         return 2
     print(f"converted components: {sorted(loaded)}")
-    acts = compute_activations(args.preset, params_override=loaded)
+    acts = compute_activations(args.preset, params_override=loaded,
+                               components=set(loaded))
     want = dict(np.load(args.goldens))
     prefixes = {"transformer": ("transformer.", "pack.", "scheduler.",
                                 "cfg."),

@@ -89,8 +89,7 @@ def vision_init(key: jax.Array, cfg: VLConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     d = cfg.vision_hidden
     patch_in = 3 * cfg.temporal_patch_size * cfg.patch_size * cfg.patch_size
-    _kt = jax.random.split(key, 4 + 4 * cfg.vision_depth)
-    ks = (_kt[i] for i in range(_kt.shape[0]))
+    ks = iter(split_keys(key, 4 + 4 * cfg.vision_depth))
     blocks = []
     for _ in range(cfg.vision_depth):
         blocks.append({
@@ -217,8 +216,7 @@ def lm_init(key: jax.Array, cfg: VLConfig) -> Params:
     d = cfg.hidden_size
     hd = d // cfg.num_heads
     kv_dim = cfg.num_kv_heads * hd
-    _kt = jax.random.split(key, 6 + 6 * cfg.num_layers)
-    ks = (_kt[i] for i in range(_kt.shape[0]))
+    ks = iter(split_keys(key, 6 + 6 * cfg.num_layers))
     emb_scale = 0.02
     embed = (jax.random.normal(next(ks), (cfg.vocab_size, d), jnp.float32)
              * emb_scale).astype(dtype)

@@ -28,6 +28,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from qwen_image_edit_streamdiffusion_tpu.core.rng import split_keys
+
 from qwen_image_edit_streamdiffusion_tpu.core.config import ModelConfig
 from qwen_image_edit_streamdiffusion_tpu.models.common import (
     Params,
@@ -78,8 +80,7 @@ def unpack_latents(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 def _block_init(key, cfg: ModelConfig, dtype) -> Params:
     d = cfg.inner_dim
-    _kt = jax.random.split(key, 16)
-    ks = (_kt[i] for i in range(16))
+    ks = iter(split_keys(key, 16))
     attn = {
         "img_q": linear_init(next(ks), d, d, dtype),
         "img_k": linear_init(next(ks), d, d, dtype),

@@ -137,11 +137,7 @@ def init(key: jax.Array, cfg: VAEConfig) -> Params:
     dtype = jnp.dtype(cfg.dtype)
     dims = _stage_dims(cfg)  # e.g. (96, 96, 192, 384, 384)
     z = cfg.latent_channels
-    # index the key table, never iterate/unpack it: device-array
-    # iteration blocks on per-chunk host fetches (a tunnel RTT each)
-    # and would break under jit tracing
-    _kt = jax.random.split(key, 256)
-    keys = (_kt[i] for i in range(256))
+    keys = iter(split_keys(key, 256))
 
     # --- encoder ---
     enc: Params = {"conv_in": conv2d_init(next(keys), 3, dims[0], 3, dtype)}

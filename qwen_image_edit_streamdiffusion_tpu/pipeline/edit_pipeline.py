@@ -191,16 +191,21 @@ class EditPipeline:
             fused_saved = "img_qkv" in ckpt.saved_keys(transformer_path)
         except Exception:
             fused_saved = False
-        if fused_saved:
-            from qwen_image_edit_streamdiffusion_tpu.models.optimize import (
-                fuse_qkv,
-            )
+        from qwen_image_edit_streamdiffusion_tpu.models.optimize import (
+            fuse_qkv,
+        )
 
-            tfm_params = ckpt.load(
-                transformer_path, like=_jax.eval_shape(fuse_qkv, like_t)
-            )
-        else:
-            tfm_params = ckpt.load(transformer_path, like=like_t)
+        like_fused = _jax.eval_shape(fuse_qkv, like_t)
+        first, second = (
+            (like_fused, like_t) if fused_saved else (like_t, like_fused)
+        )
+        try:
+            tfm_params = ckpt.load(transformer_path, like=first)
+        except Exception:
+            # metadata-based layout detection can misread on orbax
+            # versions whose metadata tree differs — fall back to the
+            # other qkv layout before giving up (ADVICE r1 #4)
+            tfm_params = ckpt.load(transformer_path, like=second)
         vae_params = ckpt.load(vae_path, like=like_v)
         if lora_path:
             from qwen_image_edit_streamdiffusion_tpu.models import lora

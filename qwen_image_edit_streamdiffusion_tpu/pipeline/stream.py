@@ -96,15 +96,32 @@ class RealtimePipeline:
             vl_images = [np.asarray(imaging.resize(reference_image, lw, lh),
                                     dtype=np.uint8)]
         emb = p.encoder.encode(prompt, vl_images)
-        self._frozen_txt = jnp.asarray(emb.embeds, mdt)[None]
-        self._frozen_mask = jnp.asarray(emb.mask)[None]
+        txt = jnp.asarray(emb.embeds, mdt)[None]
+        mask = jnp.asarray(emb.mask)[None]
         if negative_prompt is not None:
             nemb = p.encoder.encode(negative_prompt, vl_images)
-            self._frozen_neg_txt = jnp.asarray(nemb.embeds, mdt)[None]
-            self._frozen_neg_mask = jnp.asarray(nemb.mask)[None]
+            neg_txt = jnp.asarray(nemb.embeds, mdt)[None]
+            neg_mask = jnp.asarray(nemb.mask)[None]
+            # bucket-align pos/neg (the VL encoder buckets lengths to
+            # multiples of 64, so they can differ): the batched-CFG graph
+            # stacks them on the batch axis (edit_pipeline.py does the
+            # same for the non-stream path)
+            lt, ln = txt.shape[1], neg_txt.shape[1]
+            if lt != ln:
+                l = max(lt, ln)
+
+                def _pad(a, fill=0):
+                    pad = [(0, 0), (0, l - a.shape[1])] + [
+                        (0, 0)
+                    ] * (a.ndim - 2)
+                    return jnp.pad(a, pad, constant_values=fill)
+
+                txt, mask = _pad(txt), _pad(mask, False)
+                neg_txt, neg_mask = _pad(neg_txt), _pad(neg_mask, False)
         else:
-            self._frozen_neg_txt = self._frozen_txt
-            self._frozen_neg_mask = self._frozen_mask
+            neg_txt, neg_mask = txt, mask
+        self._frozen_txt, self._frozen_mask = txt, mask
+        self._frozen_neg_txt, self._frozen_neg_mask = neg_txt, neg_mask
 
     # ------------------------------------------------------------------
 
@@ -369,8 +386,9 @@ class RealtimePipeline:
                 if pipelined:
                     t0 = time.time()
                     # don't dispatch a frame that will never be displayed
-                    last = max_frames is not None and n == max_frames - 1
-                    if last and pending is not None:
+                    # (NB: `last` is the throttle timestamp — don't shadow)
+                    is_final = max_frames is not None and n == max_frames - 1
+                    if is_final and pending is not None:
                         nxt = None
                     else:
                         nxt = self.submit_frame(frame)

@@ -103,6 +103,37 @@ def test_camera_loop_headless(rt, capsys):
     assert out.count("frame ") == 2
 
 
+def test_stream_cfg_with_mismatched_prompt_buckets():
+    """The VL encoder buckets output lengths to multiples of 64, so pos
+    and neg prompts can land in different buckets; precompute_conditions
+    must pad them to a common length or the batched-CFG fused graph
+    fails to stack them (review r2 finding #1)."""
+    from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
+        PromptEmbedding,
+    )
+
+    class TwoBucketEncoder:
+        joint_dim = 48
+
+        def encode(self, prompt, images=()):
+            n = 8 if len(prompt) < 20 else 16  # different bucket per prompt
+            rng = np.random.default_rng(len(prompt))
+            return PromptEmbedding(
+                embeds=rng.standard_normal((n, 48)).astype(np.float32),
+                mask=np.ones((n,), bool),
+            )
+
+    cfg = TINY_STREAM.replace(true_cfg_scale=4.0)
+    rt = RealtimePipeline.create("tiny", config=cfg, seed=0,
+                                 encoder=TwoBucketEncoder())
+    rt.precompute_conditions(
+        "short", negative_prompt="a much longer negative prompt text"
+    )
+    assert rt._frozen_txt.shape == rt._frozen_neg_txt.shape
+    out = rt.process_frame(imaging.make_test_image(64, 64, "gradient"))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_stream_yuv420_transfer_roundtrip():
     """The fused frame graph with transfer_format="yuv420" (half the
     tunnel bytes in BOTH directions) stays visually equivalent to rgb:
