@@ -168,29 +168,59 @@ def vision_forward(
     inv_perm = np.argsort(perm)
     # window-major order: windows are contiguous spans of varying length
     x = x[perm]
-    cos = jnp.asarray(cos_np[perm])[None, None]  # (1,1,L,hd)
-    sin = jnp.asarray(sin_np[perm])[None, None]
-    win_mask = jnp.asarray(win_ids[:, None] == win_ids[None, :])  # (L, L)
+    cos_t = jnp.asarray(cos_np[perm])[:, None]  # (L, 1, hd)
+    sin_t = jnp.asarray(sin_np[perm])[:, None]
 
-    def attn(q, k, v, mask2d):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                       preferred_element_type=jnp.float32) * (hd ** -0.5)
-        if mask2d is not None:
-            s = jnp.where(mask2d[None, None], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    # Batched ragged windows: pad each window to the longest (wmax = full
+    # wp² except edge windows) and mask padded KEY slots. Cost per
+    # windowed block ∝ nw·wmax² instead of L² — the full-L×L mask form
+    # is ~12× the FLOPs at the standard window config and O(L²) memory
+    # (≈1.7 GB scores/block at HF's max grid). Static numpy index maps;
+    # padded-slot outputs are never gathered back.
+    counts = np.bincount(win_ids)
+    nw, wmax = counts.size, int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(l) - np.repeat(starts, counts)
+    idx_np = np.zeros((nw, wmax), np.int32)
+    valid_np = np.zeros((nw, wmax), bool)
+    idx_np[win_ids, slot] = np.arange(l)
+    valid_np[win_ids, slot] = True
+    idx = jnp.asarray(idx_np)
+    key_mask = jnp.asarray(valid_np)[:, None, None, :]  # (nw,1,1,wmax)
+    flat = jnp.asarray((win_ids * wmax + slot).astype(np.int32))
+
+    scale = hd ** -0.5
+
+    def attn_full(q, k, v):
+        qf = q.transpose(1, 0, 2)[None]  # (1, nh, L, hd)
+        kf = k.transpose(1, 0, 2)[None]
+        vf = v.transpose(1, 0, 2)[None]
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(vf.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+        return o[0].transpose(1, 0, 2).reshape(l, d)
+
+    def attn_windowed(q, k, v):
+        qw = q[idx].transpose(0, 2, 1, 3)  # (nw, nh, wmax, hd)
+        kw = k[idx].transpose(0, 2, 1, 3)
+        vw = v[idx].transpose(0, 2, 1, 3)
+        s = jnp.einsum("whqd,whkd->whqk", qw, kw,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(vw.dtype)
+        o = jnp.einsum("whqk,whkd->whqd", p, vw)  # (nw, nh, wmax, hd)
+        o = o.transpose(0, 2, 1, 3).reshape(nw * wmax, d)
+        return o[flat]  # (L, d) — padded slots dropped
 
     for i, blk in enumerate(params["blocks"]):
         h = rms_norm(blk["norm1"], x, cfg.rms_eps)
         qkv = linear(blk["qkv"], h).reshape(l, 3, nh, hd)
-        q = qkv[:, 0].transpose(1, 0, 2)[None]  # (1, nh, L, hd)
-        k = qkv[:, 1].transpose(1, 0, 2)[None]
-        v = qkv[:, 2].transpose(1, 0, 2)[None]
-        q = _apply_rope_half(q, cos, sin)
-        k = _apply_rope_half(k, cos, sin)
+        q = _apply_rope_half(qkv[:, 0], cos_t, sin_t)  # (L, nh, hd)
+        k = _apply_rope_half(qkv[:, 1], cos_t, sin_t)
+        v = qkv[:, 2]
         full = i in cfg.fullatt_block_indexes
-        o = attn(q, k, v, None if full else win_mask)
-        o = o[0].transpose(1, 0, 2).reshape(l, d)
+        o = attn_full(q, k, v) if full else attn_windowed(q, k, v)
         x = x + linear(blk["proj"], o)
         h2 = rms_norm(blk["norm2"], x, cfg.rms_eps)
         x = x + _swiglu(blk["mlp"], h2)

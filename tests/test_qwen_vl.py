@@ -213,3 +213,58 @@ def test_prompt_length_does_not_retrace(enc):
     n0 = len(enc._jit_cache)
     enc.encode("a different number of tokens here ok")  # same 32-bucket
     assert len(enc._jit_cache) == n0, "LM retraced on prompt-length change"
+
+
+def test_windowed_attention_equals_masked_reference(tiny_preset):
+    """The padded window-batched attention (O(nw·wmax²)) must equal the
+    block-diagonal-masked full attention it replaced, on a ragged grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl as qvl
+
+    cfg = tiny_preset.vl
+    wp = cfg.window_size // cfg.patch_size
+    gh, gw = wp + 2, wp + 4  # ragged edges in both directions
+    l = gh * gw
+    nh = cfg.vision_heads
+    hd = cfg.vision_hidden // nh
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((l, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((l, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((l, nh, hd)), jnp.float32)
+    perm, win_ids = qvl._window_partition(cfg, gh, gw)
+
+    # reference: full attention with a block-diagonal window mask
+    mask = jnp.asarray(win_ids[:, None] == win_ids[None, :])
+    qf = q.transpose(1, 0, 2)[None]
+    kf = k.transpose(1, 0, 2)[None]
+    vf = v.transpose(1, 0, 2)[None]
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                   preferred_element_type=jnp.float32) * (hd ** -0.5)
+    s = jnp.where(mask[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, vf)[0].transpose(1, 0, 2)
+    ref = np.asarray(ref.reshape(l, nh * hd))
+
+    # batched ragged windows (the vision_forward implementation)
+    counts = np.bincount(win_ids)
+    nw, wmax = counts.size, int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(l) - np.repeat(starts, counts)
+    idx = np.zeros((nw, wmax), np.int32)
+    valid = np.zeros((nw, wmax), bool)
+    idx[win_ids, slot] = np.arange(l)
+    valid[win_ids, slot] = True
+    qw = q[jnp.asarray(idx)].transpose(0, 2, 1, 3)
+    kw = k[jnp.asarray(idx)].transpose(0, 2, 1, 3)
+    vw = v[jnp.asarray(idx)].transpose(0, 2, 1, 3)
+    sw = jnp.einsum("whqd,whkd->whqk", qw, kw,
+                    preferred_element_type=jnp.float32) * (hd ** -0.5)
+    sw = jnp.where(jnp.asarray(valid)[:, None, None, :], sw, -1e30)
+    pw = jax.nn.softmax(sw, axis=-1)
+    ow = jnp.einsum("whqk,whkd->whqd", pw, vw).transpose(0, 2, 1, 3)
+    got = np.asarray(
+        ow.reshape(nw * wmax, nh * hd)[jnp.asarray(win_ids * wmax + slot)]
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
