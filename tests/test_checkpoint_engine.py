@@ -80,3 +80,31 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     assert os.path.isdir(d)
     monkeypatch.setenv("QIE_COMPILE_CACHE", "0")
     assert compile_cache.enable() is None
+
+
+def test_from_checkpoint_detects_unfused_layout(tmp_path, tiny_preset):
+    """A checkpoint saved in the UNFUSED qkv layout loads into a pipeline
+    whose config fuses qkv (metadata-based layout detection +
+    fuse-after-load; the existing test covers the fused-saved side since
+    fuse_qkv defaults on)."""
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    unfused_cfg = TINY_STREAM.replace(fuse_qkv=False)
+    src = EditPipeline.create("tiny", config=unfused_cfg, seed=0)
+    assert "img_qkv" not in src.tfm_params["blocks"][0]["attn"]
+    tp, vp = str(tmp_path / "t"), str(tmp_path / "v")
+    ckpt.save(tp, src.tfm_params)
+    ckpt.save(vp, src.vae_params)
+
+    pipe = EditPipeline.from_checkpoint(tp, vp, preset="tiny",
+                                        config=TINY_STREAM)  # fuse_qkv on
+    assert "img_qkv" in pipe.tfm_params["blocks"][0]["attn"]
+    img = imaging.make_test_image(64, 64, "circle")
+    a = src(img, "x", num_inference_steps=1, seed=42)
+    b = pipe(img, "x", num_inference_steps=1, seed=42)
+    np.testing.assert_allclose(
+        np.asarray(a.images[0], np.float32),
+        np.asarray(b.images[0], np.float32), atol=2.0,
+    )
