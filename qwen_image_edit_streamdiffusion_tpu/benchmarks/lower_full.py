@@ -1,10 +1,23 @@
 """Abstract AOT check of the FULL 20B preset, tensor-parallel.
 
-Lowers (no execution, no weight materialization — pure ShapeDtypeStructs)
-one denoise model call of the `qwen-image-edit-2509` preset over an
-(cfg × model) mesh, verifying that the megatron sharding rules partition
-every block tensor and that XLA accepts the SPMD program at real scale —
-the thing a single dev box cannot run for lack of 40 GB of HBM.
+Lowers + compiles (no execution, no weight materialization — pure
+ShapeDtypeStructs) one denoise model call of the `qwen-image-edit-2509`
+preset over an (cfg × model) mesh, verifying that the megatron sharding
+rules partition every block tensor and that XLA accepts the SPMD program
+at real scale — the thing a single dev box cannot run for lack of 40 GB
+of HBM.
+
+Two targets, best-first:
+
+1. **TPU topology AOT** (default when libtpu is present): compiles the
+   REAL serving program — shard_mapped Pallas flash attention included —
+   against a `v5e:2x4` TopologyDescription, no chips needed. Measured:
+   10.79 GB/chip total (10.24 params + 0.55 temps) → the 20B bf16 preset
+   FITS a v5e-8 with flash attention; the XLA-attention fallback would
+   need ~14 GB of score temps and not fit.
+2. **CPU virtual-device lowering** (fallback): same sharding rules,
+   `use_flash=False` (Pallas doesn't lower on CPU), which overstates
+   temp memory by the materialized attention scores.
 
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
     python -m qwen_image_edit_streamdiffusion_tpu.benchmarks.lower_full
@@ -16,7 +29,8 @@ import time
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qwen_image_edit_streamdiffusion_tpu.core import meshes
 from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
@@ -25,16 +39,35 @@ from qwen_image_edit_streamdiffusion_tpu.models.common import param_count
 from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
 
+def _tpu_topology_mesh(n_devices: int):
+    """(mesh, True) for a v5e AOT topology, or (None, False) if libtpu
+    can't build one here."""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name=f"v5e:2x{n_devices // 2}"
+        )
+        devs = np.asarray(topo.devices).reshape(2, n_devices // 2)
+        return Mesh(devs, ("cfg", "model")), True
+    except Exception as e:  # no libtpu / unknown topology
+        print(f"TPU topology unavailable ({type(e).__name__}); "
+              "falling back to CPU virtual devices (use_flash=False)")
+        return None, False
+
+
 def main(n_devices: int = 8):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
 
-    devs = jax.devices()
-    if len(devs) < n_devices:
-        devs = jax.devices("cpu")
-    mesh = meshes.make_mesh(cfg_axis=2, model_axis=n_devices // 2,
-                            devices=devs[:n_devices])
-    print(f"mesh: {dict(mesh.shape)}")
+    mesh, is_tpu = _tpu_topology_mesh(n_devices)
+    if mesh is None:
+        devs = jax.devices()
+        if len(devs) < n_devices:
+            devs = jax.devices("cpu")
+        mesh = meshes.make_mesh(cfg_axis=2, model_axis=n_devices // 2,
+                                devices=devs[:n_devices])
+    print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
 
     t0 = time.time()
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
@@ -52,7 +85,7 @@ def main(n_devices: int = 8):
     txt_len = 256
     l_img = sum(f * h * w for f, h, w in img_shapes)
     ropes = tfm.make_rope(cfg, img_shapes, txt_len)
-    batch = NamedSharding(mesh, jax.sharding.PartitionSpec("cfg"))
+    batch = NamedSharding(mesh, P("cfg"))
     args = (
         params_abs,
         jax.ShapeDtypeStruct((2, l_img, cfg.in_channels), jnp.bfloat16,
@@ -63,7 +96,10 @@ def main(n_devices: int = 8):
     )
 
     def fwd(params, img, txt, t):
-        return tfm.forward(params, cfg, img, txt, t, ropes, use_flash=False)
+        # TPU target compiles the real flash path (shard_mapped Pallas);
+        # Pallas doesn't lower on the CPU fallback target
+        return tfm.forward(params, cfg, img, txt, t, ropes,
+                           use_flash=is_tpu, mesh=mesh if is_tpu else None)
 
     t0 = time.time()
     lowered = jax.jit(fwd).lower(*args)
@@ -79,6 +115,9 @@ def main(n_devices: int = 8):
                  + mem.output_size_in_bytes)
         print(f"per-device total:          {total / 1e9:.2f} GB "
               f"({'fits' if total < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
+        if not is_tpu:
+            print("(CPU fallback overstates temps: XLA attention "
+                  "materializes scores the TPU flash path streams)")
     print("OK: full 20B preset lowers+compiles TP-sharded")
 
 
