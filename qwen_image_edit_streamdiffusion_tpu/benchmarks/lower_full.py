@@ -56,7 +56,70 @@ def _tpu_topology_mesh(n_devices: int):
         return None, False
 
 
-def main(n_devices: int = 8):
+def lower_serving_loop(mesh, is_tpu: bool):
+    """AOT-compile the ACTUAL serving executable — the full 2-step
+    parallel-CFG denoise `lax.fori_loop` the jitted pipeline runs per
+    request — for the 20B preset on the v5e-8 topology."""
+    from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    preset = get_preset("qwen-image-edit-2509")
+    cfg = preset.model
+    config = StreamConfig(model_preset=preset.name, cfg_mode="parallel",
+                          use_flash_attention=is_tpu, fuse_qkv=False)
+    # abstract pipeline: _denoise_fn reads only preset/config/mesh; params
+    # flow in as (abstract) arguments
+    pipe = EditPipeline(preset=preset, config=config, tfm_params=None,
+                        vae_params=None, encoder=None, mesh=mesh)
+
+    img_shapes = ((1, 64, 64), (1, 64, 64))  # 1024² target + 1024² cond
+    txt_len = 256
+    steps = 2
+    fn = pipe._denoise_fn(1, img_shapes, txt_len, steps, "parallel")
+
+    shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    specs = sharding.transformer_param_specs(shapes)
+    params_abs = jax.tree_util.tree_map(
+        lambda s, p: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, p)),
+        shapes, specs,
+    )
+    f, h0, w0 = img_shapes[0]
+    l_target = f * h0 * w0
+    l_cond = sum(ff * hh * ww for ff, hh, ww in img_shapes[1:])
+    rep = NamedSharding(mesh, P())
+    abs_ = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+    args = (
+        params_abs,
+        abs_((1, l_target, cfg.in_channels), jnp.bfloat16),   # x0
+        abs_((1, l_cond, cfg.in_channels), jnp.bfloat16),     # cond tokens
+        abs_((1, txt_len, cfg.joint_dim), jnp.bfloat16),      # txt
+        abs_((1, txt_len), jnp.bool_),                        # mask
+        abs_((1, txt_len, cfg.joint_dim), jnp.bfloat16),      # neg txt
+        abs_((1, txt_len), jnp.bool_),                        # neg mask
+        abs_((), jnp.float32),                                # cfg scale
+    )
+    t0 = time.time()
+    lowered = fn.lower(*args)
+    print(f"serving loop ({steps}-step parallel-CFG) lowered in "
+          f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"compiled in {time.time() - t0:.1f}s")
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        total = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                 + mem.output_size_in_bytes)
+        print(f"per-device: args {mem.argument_size_in_bytes / 1e9:.2f} GB "
+              f"+ temps {mem.temp_size_in_bytes / 1e9:.2f} GB = "
+              f"{total / 1e9:.2f} GB "
+              f"({'fits' if total < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
+    print("OK: full 20B serving denoise loop compiles TP+CFG-sharded")
+
+
+def main(n_devices: int = 8, loop: bool = False):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
 
@@ -68,6 +131,8 @@ def main(n_devices: int = 8):
         mesh = meshes.make_mesh(cfg_axis=2, model_axis=n_devices // 2,
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
+    if loop:
+        return lower_serving_loop(mesh, is_tpu)
 
     t0 = time.time()
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
@@ -122,4 +187,6 @@ def main(n_devices: int = 8):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(loop="--loop" in sys.argv)
