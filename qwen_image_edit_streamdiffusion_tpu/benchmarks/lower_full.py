@@ -46,7 +46,8 @@ def _tpu_topology_mesh(n_devices: int):
         from jax.experimental import topologies
 
         topo = topologies.get_topology_desc(
-            platform="tpu", topology_name=f"v5e:2x{n_devices // 2}"
+            platform="tpu",
+            topology_name=f"v5e:{2 if n_devices > 2 else 1}x{max(1, n_devices // 2)}",
         )
         devs = np.asarray(topo.devices).reshape(2, n_devices // 2)
         return Mesh(devs, ("cfg", "model")), True
@@ -56,10 +57,12 @@ def _tpu_topology_mesh(n_devices: int):
         return None, False
 
 
-def lower_serving_loop(mesh, is_tpu: bool):
+def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
     """AOT-compile the ACTUAL serving executable — the full 2-step
     parallel-CFG denoise `lax.fori_loop` the jitted pipeline runs per
-    request — for the 20B preset on the v5e-8 topology."""
+    request — for the 20B preset on the v5e topology. use_int8 quantizes
+    the block linears (the memory option that fits HALF the chips:
+    v5e-4 instead of v5e-8)."""
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
         EditPipeline,
@@ -68,7 +71,8 @@ def lower_serving_loop(mesh, is_tpu: bool):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
     config = StreamConfig(model_preset=preset.name, cfg_mode="parallel",
-                          use_flash_attention=is_tpu, fuse_qkv=False)
+                          use_flash_attention=is_tpu, fuse_qkv=False,
+                          use_int8=use_int8)
     # abstract pipeline: _denoise_fn reads only preset/config/mesh; params
     # flow in as (abstract) arguments
     pipe = EditPipeline(preset=preset, config=config, tfm_params=None,
@@ -80,6 +84,12 @@ def lower_serving_loop(mesh, is_tpu: bool):
     fn = pipe._denoise_fn(1, img_shapes, txt_len, steps, "parallel")
 
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    if use_int8:
+        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+            quantize_transformer,
+        )
+
+        shapes = jax.eval_shape(quantize_transformer, shapes)
     specs = sharding.transformer_param_specs(shapes)
     params_abs = jax.tree_util.tree_map(
         lambda s, p: jax.ShapeDtypeStruct(
@@ -103,7 +113,8 @@ def lower_serving_loop(mesh, is_tpu: bool):
     )
     t0 = time.time()
     lowered = fn.lower(*args)
-    print(f"serving loop ({steps}-step parallel-CFG) lowered in "
+    print(f"serving loop ({steps}-step parallel-CFG"
+          f"{', int8' if use_int8 else ''}) lowered in "
           f"{time.time() - t0:.1f}s")
     t0 = time.time()
     compiled = lowered.compile()
@@ -119,7 +130,7 @@ def lower_serving_loop(mesh, is_tpu: bool):
     print("OK: full 20B serving denoise loop compiles TP+CFG-sharded")
 
 
-def main(n_devices: int = 8, loop: bool = False):
+def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
 
@@ -132,7 +143,7 @@ def main(n_devices: int = 8, loop: bool = False):
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
     if loop:
-        return lower_serving_loop(mesh, is_tpu)
+        return lower_serving_loop(mesh, is_tpu, use_int8=use_int8)
 
     t0 = time.time()
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
@@ -189,4 +200,6 @@ def main(n_devices: int = 8, loop: bool = False):
 if __name__ == "__main__":
     import sys
 
-    main(loop="--loop" in sys.argv)
+    n = 4 if "--v5e-4" in sys.argv else 8
+    main(n_devices=n, loop="--loop" in sys.argv,
+         use_int8="--int8" in sys.argv)
