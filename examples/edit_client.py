@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Minimal `/edit` API client — the reference React app's request in 40
+lines of stdlib Python (reference frontend/src/App.js:147-178: center-crop
+to 512², base64 JPEG, POST, decode the base64 result).
+
+  python examples/edit_client.py input.jpg "Transform into oil painting" \
+      --out edited.jpg [--server http://localhost:8086] [--steps 2] [--cfg]
+"""
+
+import argparse
+import base64
+import io
+import json
+import sys
+import urllib.request
+
+from PIL import Image
+
+
+def center_crop_square(img: Image.Image, size: int = 512) -> Image.Image:
+    w, h = img.size
+    s = min(w, h)
+    img = img.crop(((w - s) // 2, (h - s) // 2,
+                    (w + s) // 2, (h + s) // 2))
+    return img.resize((size, size), Image.LANCZOS)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("image")
+    ap.add_argument("prompt")
+    ap.add_argument("--out", default="edited.jpg")
+    ap.add_argument("--server", default="http://localhost:8086")
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--cfg", action="store_true",
+                    help="true-CFG mode (slower, stronger prompt adherence)")
+    args = ap.parse_args()
+
+    img = center_crop_square(Image.open(args.image).convert("RGB"))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90)
+    body = {
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "prompt": args.prompt,
+        "steps": args.steps,
+        "use_cfg": args.cfg,
+    }
+    req = urllib.request.Request(
+        f"{args.server}/edit", json.dumps(body).encode(),
+        {"Content-Type": "application/json"},
+    )
+    try:
+        resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+    except urllib.error.HTTPError as e:
+        print(f"HTTP {e.code}: {e.read().decode()[:200]}", file=sys.stderr)
+        return 1
+    if resp.get("status") != "success":
+        print(f"edit failed: {resp}", file=sys.stderr)
+        return 1
+    Image.open(io.BytesIO(base64.b64decode(resp["image"]))).save(args.out)
+    print(f"edited in {resp['elapsed']:.2f}s → {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,19 +12,30 @@ Two targets, best-first:
 1. **TPU topology AOT** (default when libtpu is present): compiles the
    REAL serving program — shard_mapped Pallas flash attention included —
    against a `v5e:2x4` TopologyDescription, no chips needed. Measured:
-   10.79 GB/chip total (10.24 params + 0.55 temps) → the 20B bf16 preset
-   FITS a v5e-8 with flash attention; the XLA-attention fallback would
-   need ~14 GB of score temps and not fit.
+   10.79 GB/chip for one model call (10.24 params + 0.55 temps) → the 20B
+   bf16 preset FITS a v5e-8 with flash attention; the XLA-attention
+   fallback materializes ~17 GB of score temps and would not.
 2. **CPU virtual-device lowering** (fallback): same sharding rules,
    `use_flash=False` (Pallas doesn't lower on CPU), which overstates
    temp memory by the materialized attention scores.
 
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-    python -m qwen_image_edit_streamdiffusion_tpu.benchmarks.lower_full
+Flags:
+  --loop      compile the FULL serving executable (2-step parallel-CFG
+              denoise fori_loop): 11.96 GB/chip on v5e-8.
+  --int8      quantize block linears first; with --v5e-4 the loop fits
+              HALF the chips (10.88 GB/chip on a 2×2 v5e-4).
+  --v5e-4     target a 4-chip topology instead of 8.
+  QIE_AOT_SAVE=<path> additionally serializes the compiled executable
+              (~212 MB) — ship to the pod and deserialize_and_load to
+              skip the multi-minute serving cold-start compile.
+
+  python -m qwen_image_edit_streamdiffusion_tpu.benchmarks.lower_full \
+      [--loop] [--int8] [--v5e-4]
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -119,6 +130,20 @@ def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
     t0 = time.time()
     compiled = lowered.compile()
     print(f"compiled in {time.time() - t0:.1f}s")
+    save = os.environ.get("QIE_AOT_SAVE")
+    if save:
+        # deployment artifact: ship the pre-compiled executable to the pod
+        # and skip the multi-minute compile at serving cold-start
+        # (jax.experimental.serialize_executable.deserialize_and_load on
+        # the target restores it)
+        from jax.experimental import serialize_executable as se
+
+        t0 = time.time()
+        payload, _, _ = se.serialize(compiled)
+        with open(save, "wb") as f_out:
+            f_out.write(payload)
+        print(f"serialized executable → {save} "
+              f"({len(payload) / 1e6:.1f} MB, {time.time() - t0:.1f}s)")
     mem = compiled.memory_analysis()
     if mem is not None:
         total = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
