@@ -12,6 +12,7 @@ import base64
 import io
 import json
 import sys
+import urllib.error
 import urllib.request
 
 from PIL import Image

@@ -192,8 +192,10 @@ class RealtimePipeline:
     def process_frame(self, frame: Image.Image) -> Image.Image:
         """Edit one camera frame (reference qwen_realtime.py:226-268).
 
-        Keyframes with a negative prompt take the full CFG pipeline path;
-        everything else runs the single-dispatch fused graph.
+        Every frame — keyframe or temporal, with or without a negative
+        prompt — runs the single-dispatch fused graph; CFG (when a negative
+        prompt is set) is the batched cond+uncond variant *inside* that
+        graph, never a separate pipeline path.
         """
         t0 = time.time()
         cfgc = self.config
@@ -423,6 +425,14 @@ class RealtimePipeline:
                     time.sleep(interval - dt)
                 last = time.time()
         finally:
+            # drain the in-flight frame on early exit ('q' keypress, camera
+            # read failure) so its result/latency sample isn't silently
+            # dropped (ADVICE r2)
+            if pending is not None:
+                try:
+                    self._collect(pending)
+                except Exception:
+                    pass
             if have_cv and cap is not None:
                 cap.release()
                 if cv2 is not None:
