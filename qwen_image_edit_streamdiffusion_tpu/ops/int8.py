@@ -116,7 +116,9 @@ def int8_matmul_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels v2: quantize-once + int8-resident GEMM
+# Pallas kernel: quantize-once + int8-resident GEMM (the sole Pallas
+# generation — an earlier single-pass per-(row, k-block) variant was pruned
+# after measuring parity; see the int8 roofline decision in CLAUDE.md)
 # ---------------------------------------------------------------------------
 
 
@@ -261,104 +263,6 @@ def int8_linear_v2(x: jnp.ndarray, q: QuantizedLinear,
     if q.b is not None:
         out = out + q.b.astype(out.dtype)
     return out.reshape(*lead, -1)
-
-
-# ---------------------------------------------------------------------------
-# Pallas fused kernel (v1 — single pass, per-(row, k-block) scales)
-# ---------------------------------------------------------------------------
-
-
-def _int8_gemm_kernel(x_ref, wq_ref, wscale_ref, o_ref, acc_ref,
-                      *, block_k: int):
-    """Grid (M/bm, N/bn, K/bk). Quantizes the x block in-register, int8
-    MXU matmul, accumulates dequantized f32 into VMEM scratch, writes the
-    epilogue on the last k step.
-
-    x_ref: (bm, bk) activation block (bf16/f32)
-    wq_ref: (bk, bn) int8; wscale_ref: (1, bn) f32
-    o_ref: (bm, bn) out; acc_ref: (bm, bn) f32 scratch
-    """
-    k_idx = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k_idx == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:].astype(jnp.float32)
-    # per-(row, k-block) symmetric activation quantization
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(absmax, 1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
-
-    acc = jax.lax.dot_general(
-        x_q, wq_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    acc_ref[:] += acc.astype(jnp.float32) * x_scale  # w scale in epilogue
-
-    @pl.when(k_idx == nk - 1)
-    def _():
-        o_ref[:] = (acc_ref[:] * wscale_ref[0, :][None, :]).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
-def int8_matmul_pallas(
-    x: jnp.ndarray,
-    w_q: jnp.ndarray,
-    w_scale: jnp.ndarray,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """x: (M, K) float; w_q: (K, N) int8; w_scale: (N,) f32 → (M, N) in
-    x.dtype. Pads every dim to block multiples (zero rows quantize to zero)."""
-    m, k = x.shape
-    n = w_q.shape[1]
-    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
-    bn = min(block_n, max(128, 1 << (n - 1).bit_length()))
-    bk = min(block_k, max(128, 1 << (k - 1).bit_length()))
-
-    def pad(a, axis, mult):
-        p = (-a.shape[axis]) % mult
-        if p == 0:
-            return a
-        w = [(0, 0)] * a.ndim
-        w[axis] = (0, p)
-        return jnp.pad(a, w)
-
-    xp = pad(pad(x, 0, bm), 1, bk)
-    wp = pad(pad(w_q, 0, bk), 1, bn)
-    sp = pad(w_scale.reshape(1, -1).astype(jnp.float32), 1, bn)
-    mp, kp = xp.shape
-    np_ = wp.shape[1]
-
-    out = pl.pallas_call(
-        functools.partial(_int8_gemm_kernel, block_k=bk),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
-        grid=(mp // bm, np_ // bn, kp // bk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * kp,
-            bytes_accessed=mp * kp * 2 + kp * np_ + mp * np_ * 2,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xp, wp, sp)
-    return out[:m, :n]
 
 
 def _on_tpu() -> bool:
