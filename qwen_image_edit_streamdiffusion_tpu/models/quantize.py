@@ -73,6 +73,38 @@ def quantize_transformer(
     }
 
 
+# VL encoder linears worth quantizing (VERDICT r2 next #1: int8 halves the
+# ~15.5 GB bf16 encoder): LM attention + SwiGLU, vision attention + SwiGLU,
+# and the 2×2 merger MLP. The embed table, patch embed, and norms stay
+# high-precision (the table dominates what's left and shards its hidden dim
+# across the mesh anyway — parallel/sharding.vl_param_specs).
+VL_QUANTIZE = frozenset({
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate", "up", "down",
+    "qkv", "proj", "fc1", "fc2",
+})
+
+
+def quantize_vl(
+    params: Any, include: FrozenSet[str] = VL_QUANTIZE, bits: int = 8
+) -> Any:
+    """Weight-only int8/int4 for the Qwen2.5-VL encoder param tree
+    ({"vision": ..., "lm": ...}); ``common.linear`` dispatches on the leaf
+    keys so the forward code is untouched, and the swap composes with the
+    TP sharding rules (w_q/scale leaf specs)."""
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if "w" in node and name in include and node["w"].ndim == 2:
+                return _quantize_leaf_dict(node, bits)
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v, name) for v in node)
+        return node
+
+    return walk(params)
+
+
 def quantized_bytes(params: Any) -> int:
     import jax
 

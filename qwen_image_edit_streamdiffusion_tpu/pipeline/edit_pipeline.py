@@ -85,8 +85,36 @@ def _default_encoder(preset: Preset, config: StreamConfig, seed: int
         )
 
         return QwenVLEncoder(preset.vl, seed=seed,
-                             max_len=preset.vl.max_text_len)
+                             max_len=preset.vl.max_text_len,
+                             use_flash=config.use_flash_attention)
     return StubEncoder.from_config(preset.vl)
+
+
+def _finalize_encoder(encoder: PromptEncoder, config: StreamConfig, mesh):
+    """Apply the deployment levers to a parameterized (VL) encoder:
+    optional weight-only int8 (config.use_int8_vl), then TP sharding over
+    every mesh axis (VERDICT r2 missing #1 — the 7B encoder must live
+    inside the per-chip memory budget, not replicated beside the
+    transformer shard). StubEncoder (no ``params``) passes through."""
+    params = getattr(encoder, "params", None)
+    if params is None:
+        return encoder
+    if config.use_int8_vl:
+        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+            quantize_vl,
+        )
+
+        params = quantize_vl(params)
+    if mesh is not None:
+        from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+        params = sharding.shard_vl_params(params, mesh)
+        # a pallas_call inside the GSPMD-jitted encode would replicate its
+        # operands; keep the encoder on annotation-driven XLA attention
+        if hasattr(encoder, "use_flash"):
+            encoder.use_flash = False
+    encoder.params = params
+    return encoder
 
 
 @dataclass
@@ -147,6 +175,7 @@ class EditPipeline:
             vae_params = sharding.replicate(vae_params, mesh)
         if encoder is None:
             encoder = _default_encoder(preset, config, seed)
+        encoder = _finalize_encoder(encoder, config, mesh)
         from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
             LatentCache,
             PromptCache,
@@ -201,11 +230,17 @@ class EditPipeline:
         )
         try:
             tfm_params = ckpt.load(transformer_path, like=first)
-        except Exception:
+        except Exception as first_exc:
             # metadata-based layout detection can misread on orbax
             # versions whose metadata tree differs — fall back to the
-            # other qkv layout before giving up (ADVICE r1 #4)
-            tfm_params = ckpt.load(transformer_path, like=second)
+            # other qkv layout before giving up (ADVICE r1 #4). Chain the
+            # first error so a genuine failure (corrupt checkpoint, OOM)
+            # doesn't surface as a confusing second-layout mismatch alone
+            # (ADVICE r2 #1).
+            try:
+                tfm_params = ckpt.load(transformer_path, like=second)
+            except Exception as second_exc:
+                raise second_exc from first_exc
         vae_params = ckpt.load(vae_path, like=like_v)
         if lora_path:
             from qwen_image_edit_streamdiffusion_tpu.models import lora
@@ -237,9 +272,11 @@ class EditPipeline:
             encoder: PromptEncoder = QwenVLEncoder(
                 preset.vl, params=vl_params,
                 max_len=preset.vl.max_text_len,
+                use_flash=config.use_flash_attention,
             )
         else:
             encoder = _default_encoder(preset, config, seed=0)
+        encoder = _finalize_encoder(encoder, config, mesh)
         from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
             LatentCache,
             PromptCache,
@@ -597,14 +634,24 @@ class EditPipeline:
     # ------------------------------------------------------------------
 
     def warmup(self, height: Optional[int] = None, width: Optional[int] = None,
-               steps: Optional[int] = None, runs: int = 1) -> float:
+               steps: Optional[int] = None, runs: int = 1,
+               cfg: bool = False) -> float:
         """AOT-compile the standard bucket (reference warms up with a gray
-        512² image, server.py:83-95)."""
+        512² image, server.py:83-95). cfg=True additionally compiles the
+        true-CFG variant of the same bucket (config.cfg_mode) — on GPU a
+        new configuration costs ~0, here a cold compile costs minutes, so
+        a server that will see use_cfg=true requests must warm it
+        (SURVEY.md §7.1 item 4, VERDICT r2 next #3)."""
         h = height or self.config.height or 512
         w = width or self.config.width or 512
         dummy = imaging.make_test_image(w, h, "gray")
         t0 = time.time()
+        n_steps = steps or self.config.num_inference_steps
         for _ in range(max(1, runs)):
-            self(dummy, "test", num_inference_steps=steps
-                 or self.config.num_inference_steps)
+            self(dummy, "test", num_inference_steps=n_steps)
+        if cfg:
+            # the server's use_cfg convention: empty negative prompt
+            # (engine.edit, reference server.py:135-153)
+            self(dummy, "test", negative_prompt="",
+                 num_inference_steps=n_steps)
         return time.time() - t0
