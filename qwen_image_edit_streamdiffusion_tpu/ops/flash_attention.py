@@ -125,6 +125,81 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k):
+    """One (batch·q-head, q-block) program: causal online softmax.
+
+    Built for the Qwen2.5-VL language model (VERDICT r2 next #2): decoder
+    attention over ~0.3-1k-token prompts. q arrives pre-scaled
+    (d^-1/2·log2e folded in by the caller — base-2 softmax domain).
+
+    Block-level causal pruning with *dynamic* loop bounds from the q-block
+    index: blocks entirely below the diagonal run maskless; only the
+    O(bq/bk) diagonal blocks pay the elementwise row≥col select; blocks
+    above the diagonal are never read. No key-padding mask is needed:
+    padding is a suffix, and for every real row r < n_real each padded key
+    column c ≥ n_real > r is already causally masked.
+
+    GQA is handled OUTSIDE via the k/v BlockSpec index maps (q head →
+    shared kv head), so K/V are never materialized per-q-head.
+    """
+    qi = pl.program_id(1)
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2]
+    nk = k_ref.shape[1] // block_k
+    q0 = qi * block_q  # global row offset of this q block
+
+    q = q_ref[0]  # pre-scaled by the caller
+
+    def make_body(diag):
+        def body(j, carry):
+            acc, m, l = carry
+            k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
+            v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, bk) f32
+            if diag:
+                rows = q0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 0
+                )
+                cols = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 1
+                )
+                s = jnp.where(cols <= rows, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2((s - m_new).astype(v_blk.dtype))
+            alpha = jnp.exp2(m - m_new)
+            l_new = l * alpha + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc_new, m_new, l_new
+
+        return body
+
+    # fully-visible blocks: last col (j+1)·bk − 1 ≤ q0 ⇔ j < q0 // bk + 1
+    # iff divisible; q0 % bk == 0 or bk > bq both reduce to q0 // bk
+    n_full = q0 // block_k
+    # last block any row of this q block can see
+    n_causal = jnp.minimum((q0 + bq + block_k - 1) // block_k, nk)
+    carry = (
+        jnp.zeros((bq, d), jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((bq, 1), jnp.float32),
+    )
+    carry = jax.lax.fori_loop(0, n_full, make_body(False), carry)
+    carry = jax.lax.fori_loop(n_full, n_causal, make_body(True), carry)
+    acc, m, l = carry
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     n = x.shape[axis]
     pad = (-n) % multiple
@@ -172,27 +247,30 @@ def _kv_dma(kv_hbm, kv_v, sem, bh, j, slot, which, block_k):
 
 
 def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
-                      kv_v, sem, *, block_k, num_heads,
+                      kv_v, sem, *, block_k, num_heads, kv_heads,
                       n_masked_lo, n_unmasked_hi):
-    """q_ref/o_ref: (1, bq, D) VMEM; k_hbm/v_hbm: (BH, Lk, D) in HBM;
+    """q_ref/o_ref: (1, bq, D) VMEM; k_hbm/v_hbm: (B·Hkv, Lk, D) in HBM;
     kv_v: (2, 2, bk, D) double-buffered K/V slots. Online-softmax carry
     lives in registers (same as the resident kernel). q arrives pre-scaled
-    (d^-1/2 · log2e folded in by the caller)."""
+    (d^-1/2 · log2e folded in by the caller). GQA: the program's q head
+    maps onto its shared kv row (kv_heads == num_heads ⇒ identity)."""
     bh = pl.program_id(0)
     lk = k_hbm.shape[1]
     d = q_ref.shape[2]
     nk = lk // block_k
     batch_row = bh // num_heads
+    rep = num_heads // kv_heads
+    kv_bh = batch_row * kv_heads + (bh % num_heads) // rep
 
     q = q_ref[0]  # (bq, D)
 
     def start(j, slot):
-        _kv_dma(k_hbm, kv_v, sem, bh, j, slot, 0, block_k).start()
-        _kv_dma(v_hbm, kv_v, sem, bh, j, slot, 1, block_k).start()
+        _kv_dma(k_hbm, kv_v, sem, kv_bh, j, slot, 0, block_k).start()
+        _kv_dma(v_hbm, kv_v, sem, kv_bh, j, slot, 1, block_k).start()
 
     def wait(j, slot):
-        _kv_dma(k_hbm, kv_v, sem, bh, j, slot, 0, block_k).wait()
-        _kv_dma(v_hbm, kv_v, sem, bh, j, slot, 1, block_k).wait()
+        _kv_dma(k_hbm, kv_v, sem, kv_bh, j, slot, 0, block_k).wait()
+        _kv_dma(v_hbm, kv_v, sem, kv_bh, j, slot, 1, block_k).wait()
 
     @pl.when(nk > 0)
     def _first():
@@ -261,7 +339,8 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "interpret", "mask_len", "stream"),
+    static_argnames=("block_q", "block_k", "interpret", "mask_len", "stream",
+                     "causal"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -273,21 +352,39 @@ def flash_attention(
     interpret: bool = False,
     mask_len: Optional[int] = None,
     stream: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """q,k,v: (B, H, L, D); kv_mask: (B, Lk) bool (True = attend).
+    """q: (B, H, Lq, D); k,v: (B, Hkv, Lk, D) with H % Hkv == 0 (GQA — the
+    kernel maps each q head onto its shared kv head via the BlockSpec index
+    maps, never materializing repeated K/V); kv_mask: (B, Lk) bool (True =
+    attend).
 
     mask_len: static upper bound on the key prefix that can contain
     invalid positions (the joint stream is [txt ⊕ img] and only the
     bucketed text prefix is ever padded). None = no bound (every block
     applies the mask). stream: force (True) / forbid (False) the
     HBM-streaming kernel; None picks by K/V VMEM footprint.
-    block_q/block_k: None = per-variant measured defaults (512/512
-    resident, 512/1024 streaming). Returns (B, H, Lq, D) in q's dtype.
+    causal=True runs the decoder kernel (block-pruned lower-triangular
+    mask; requires Lq == Lk and that any key padding is a *suffix* — a
+    padded key col ≥ n_real is then causally masked for every real row, so
+    kv_mask must be None). block_q/block_k: None = per-variant measured
+    defaults (512/512 resident, 512/1024 streaming).
+    Returns (B, H, Lq, D) in q's dtype.
     """
     b, h, lq, d = q.shape
+    hkv = k.shape[1]
+    rep = h // hkv
     lk = k.shape[2]
 
-    resident = not stream if stream is not None else fits_resident(k)
+    if causal:
+        if kv_mask is not None:
+            raise ValueError(
+                "causal=True handles suffix key padding implicitly; "
+                "kv_mask must be None"
+            )
+        resident = True
+    else:
+        resident = not stream if stream is not None else fits_resident(k)
     if resident:
         bq_def, bk_def = DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
     else:
@@ -296,10 +393,43 @@ def flash_attention(
     bk = min(block_k or bk_def, max(128, 1 << (lk - 1).bit_length()))
 
     qp = _pad_to(q.reshape(b * h, lq, d), 1, bq)
-    kp = _pad_to(k.reshape(b * h, lk, d), 1, bk)
-    vp = _pad_to(v.reshape(b * h, lk, d), 1, bk)
+    kp = _pad_to(k.reshape(b * hkv, lk, d), 1, bk)
+    vp = _pad_to(v.reshape(b * hkv, lk, d), 1, bk)
     lq_p, lk_p = qp.shape[1], kp.shape[1]
     nk = lk_p // bk
+
+    scale = d ** -0.5
+    cost = pl.CostEstimate(
+        flops=4 * b * h * lq_p * lk_p * d,
+        bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+        transcendentals=b * h * lq_p * lk_p,
+    )
+
+    # GQA-aware kv index map: q-head program row → its shared kv row
+    def kv_index(bh, qi):
+        return ((bh // h) * hkv + (bh % h) // rep, 0, 0)
+
+    if causal:
+        # pre-fold scale · log2e (base-2 softmax domain)
+        qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_causal, block_q=bq, block_k=bk),
+            out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+            grid=(b * h, lq_p // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk_p, d), kv_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk_p, d), kv_index,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :lq].reshape(b, h, lq, d)
 
     if kv_mask is None:
         kv_mask = jnp.ones((b, lk), bool)
@@ -312,13 +442,6 @@ def flash_attention(
     # block-size padding at the tail (padded via mask=0) must stay masked
     n_unmasked_hi = nk - 1 if lk_p > lk else nk
 
-    scale = d ** -0.5
-    cost = pl.CostEstimate(
-        flops=4 * b * h * lq_p * lk_p * d,
-        bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-        transcendentals=b * h * lq_p * lk_p,
-    )
-
     if resident:
         out = pl.pallas_call(
             functools.partial(_flash_kernel, scale=scale, block_k=bk,
@@ -329,9 +452,9 @@ def flash_attention(
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                pl.BlockSpec((1, lk_p, d), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                pl.BlockSpec((1, lk_p, d), kv_index,
                              memory_space=pltpu.VMEM),
                 # full (B, Lk) mask in every program (see kernel docstring)
                 pl.BlockSpec((b, lk_p), lambda bh, qi: (0, 0),
@@ -349,7 +472,8 @@ def flash_attention(
     qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     out = pl.pallas_call(
         functools.partial(_flash_kernel_hbm, block_k=bk,
-                          num_heads=h, n_masked_lo=n_masked_lo,
+                          num_heads=h, kv_heads=hkv,
+                          n_masked_lo=n_masked_lo,
                           n_unmasked_hi=n_unmasked_hi),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
         grid=(b * h, lq_p // bq),

@@ -97,6 +97,144 @@ def test_streaming_mask_len_prune_matches():
                                    atol=2e-5, rtol=1e-4)
 
 
+def _causal_ref(q, k, v, n_real=None):
+    """Dense causal reference with repeated kv heads (GQA)."""
+    b, h, l, d = q.shape
+    hkv = k.shape[1]
+    if hkv != h:
+        k = jnp.repeat(k, h // hkv, axis=1)
+        v = jnp.repeat(v, h // hkv, axis=1)
+    mask = np.tril(np.ones((l, l), bool))
+    if n_real is not None:
+        mask = mask & (np.arange(l) < n_real)[None, :]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * (d ** -0.5)
+    s = jnp.where(jnp.asarray(mask)[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("l", [256, 384, 300])
+def test_causal_matches_reference(l):
+    q, k, v = _qkv(1, 2, l, l, 128, seed=5)
+    ref = _causal_ref(q, k, v)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_causal_gqa_matches_reference():
+    """GQA via kv-index maps: 8 q heads sharing 2 kv heads."""
+    b, h, hkv, l, d = 1, 8, 2, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d))
+    k = jax.random.normal(ks[1], (b, hkv, l, d))
+    v = jax.random.normal(ks[2], (b, hkv, l, d))
+    ref = _causal_ref(q, k, v)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_causal_suffix_padding_equivalence():
+    """The kernel's no-mask argument: suffix key padding is neutralized by
+    the causal mask for every real row, so kernel(padded)[:n] must equal a
+    dense causal+key-mask reference on the real rows."""
+    n_real, l = 200, 256
+    q, k, v = _qkv(1, 2, l, l, 128, seed=7)
+    ref = _causal_ref(q, k, v, n_real=n_real)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :n_real],
+                               np.asarray(ref)[:, :, :n_real],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_causal_7b_lm_shape():
+    """The real Qwen2.5-VL decoder shape (28 q heads / 4 kv heads,
+    head_dim 128) through the kernel path (VERDICT r2 next #2)."""
+    b, h, hkv, l, d = 1, 28, 4, 640, 128
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, l, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, l, d), jnp.bfloat16)
+    ref = _causal_ref(q, k, v)
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_causal_rejects_kv_mask():
+    q, k, v = _qkv(1, 1, 128, 128, 128)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, kv_mask=jnp.ones((1, 128), bool),
+                        causal=True, interpret=True)
+
+
+def test_gqa_noncausal_matches_reference():
+    """GQA through the non-causal resident kernel (joint-stream style)."""
+    b, h, hkv, l, d = 1, 4, 2, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d))
+    k = jax.random.normal(ks[1], (b, hkv, l, d))
+    v = jax.random.normal(ks[2], (b, hkv, l, d))
+    ref = reference_attention(q, jnp.repeat(k, 2, axis=1),
+                              jnp.repeat(v, 2, axis=1))
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_lm_forward_flash_matches_xla(tiny_preset):
+    """lm_forward's two dispatch paths (grouped-einsum XLA vs causal flash
+    kernel in interpret mode) agree on the same params/inputs."""
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+
+    # head_dim must be 128 for the kernel: widen the tiny LM config
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_preset.vl, hidden_size=512, num_heads=4, num_kv_heads=2,
+        intermediate_size=256, mrope_sections=(16, 24, 24),
+        dtype="float32",
+    )
+    params = qwen_vl.lm_init(jax.random.PRNGKey(0), cfg)
+    l = 160
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.standard_normal((l, 512)), jnp.float32)
+    pos = np.arange(l)[None, :].repeat(3, axis=0)
+    cos, sin = qwen_vl._mrope_tables(cfg, pos)
+    mask = np.ones((l,), bool)
+    mask[150:] = False  # suffix padding
+    ref = qwen_vl.lm_forward(params, cfg, embeds, jnp.asarray(cos),
+                             jnp.asarray(sin), jnp.asarray(mask),
+                             use_flash=False)
+    # monkeypatch-free: call the kernel path directly via interpret mode
+    from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention as fa
+    import functools
+    orig = fa.flash_attention
+    fa.flash_attention = functools.partial(orig, interpret=True)
+    try:
+        import unittest.mock as mock
+
+        with mock.patch.object(qwen_vl, "_flash_on_tpu", lambda: True):
+            out = qwen_vl.lm_forward(params, cfg, embeds, jnp.asarray(cos),
+                                     jnp.asarray(sin), jnp.asarray(mask),
+                                     use_flash=True)
+    finally:
+        fa.flash_attention = orig
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[:150],
+        np.asarray(ref, np.float32)[:150],
+        atol=5e-4, rtol=1e-3,
+    )
+
+
 def test_fallback_warns_once():
     from qwen_image_edit_streamdiffusion_tpu.ops import attention as am
 
