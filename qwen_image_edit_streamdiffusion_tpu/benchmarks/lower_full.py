@@ -22,8 +22,13 @@ Two targets, best-first:
 Flags:
   --loop      compile the FULL serving executable (2-step parallel-CFG
               denoise fori_loop): 11.96 GB/chip on v5e-8.
-  --int8      quantize block linears first; with --v5e-4 the loop fits
-              HALF the chips (10.88 GB/chip on a 2×2 v5e-4).
+  --vl        also AOT the 7B Qwen2.5-VL encoder graphs TP-sharded (and
+              the replicated VAE at 1024²); with --loop prints the
+              COMBINED per-chip deployment budget — transformer shard +
+              VL shard + VAE + peak phase temps vs the 16 GB HBM.
+  --int8      quantize transformer block linears first; with --v5e-4 the
+              loop fits HALF the chips (10.88 GB/chip on a 2×2 v5e-4).
+  --int8-vl   weight-only int8 for the VL encoder (halves its shard).
   --v5e-4     target a 4-chip topology instead of 8.
   QIE_AOT_SAVE=<path> additionally serializes the compiled executable
               (~212 MB) — ship to the pod and deserialize_and_load to
@@ -66,6 +71,149 @@ def _tpu_topology_mesh(n_devices: int):
         print(f"TPU topology unavailable ({type(e).__name__}); "
               "falling back to CPU virtual devices (use_flash=False)")
         return None, False
+
+
+def _per_chip_param_bytes(shapes, specs, mesh) -> int:
+    """Exact per-device parameter bytes for a sharded tree (shard_shape
+    includes GSPMD's padding rounding)."""
+    leaves_s = jax.tree_util.tree_leaves(shapes)
+    leaves_p = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    total = 0
+    for s, p in zip(leaves_s, leaves_p):
+        shard = NamedSharding(mesh, p).shard_shape(s.shape)
+        total += int(np.prod(shard)) * s.dtype.itemsize
+    return total
+
+
+def lower_vl(mesh, is_tpu: bool, use_int8_vl: bool = False):
+    """AOT-compile the Qwen2.5-VL encoder graphs (vision tower at the 384²
+    VL-condition grid + LM decoder at a bucketed L=512 prompt) with the
+    megatron VL sharding rules on the same topology, and return the
+    per-chip budget {params, temps} in bytes (VERDICT r2 next #1: the 7B
+    encoder must provably fit NEXT TO the transformer shard).
+
+    The encoder runs once per request before the denoise loop, so its
+    temps never coexist with loop temps — the combined peak is
+    resident-params + max(phase temps)."""
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+    from qwen_image_edit_streamdiffusion_tpu.parallel import sharding as shd
+
+    preset = get_preset("qwen-image-edit-2509")
+    vlcfg = preset.vl
+
+    shapes = jax.eval_shape(
+        lambda: qwen_vl._init_all(jax.random.PRNGKey(0), vlcfg))
+    if use_int8_vl:
+        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+            quantize_vl,
+        )
+
+        shapes = jax.eval_shape(quantize_vl, shapes)
+    axes = shd._vl_axes(mesh)
+    specs = shd.vl_param_specs(shapes, axes=axes,
+                               axis_sizes=dict(mesh.shape))
+    n_params = param_count(shapes)
+    pbytes = _per_chip_param_bytes(shapes, specs, mesh)
+    print(f"VL encoder: {n_params / 1e9:.2f}B params"
+          f"{' (int8)' if use_int8_vl else ''}, sharded over {axes} "
+          f"→ {pbytes / 1e9:.2f} GB/chip")
+
+    abs_params = jax.tree_util.tree_map(
+        lambda s, p: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, p)),
+        shapes, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    rep = NamedSharding(mesh, P())
+    abs_ = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+    dt = jnp.dtype(vlcfg.dtype)
+    temps = 0
+
+    # vision tower at the 392×392 smart-resized VL condition image
+    gh = gw = 28
+    patch_in = 3 * vlcfg.temporal_patch_size * vlcfg.patch_size ** 2
+    vfn = jax.jit(lambda p, x: qwen_vl.vision_forward(p, vlcfg, x, gh, gw))
+    t0 = time.time()
+    compiled = vfn.lower(
+        abs_params["vision"], abs_((gh * gw, patch_in), dt)).compile()
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        print(f"  vision graph ({gh}x{gw} grid): temps "
+              f"{mem.temp_size_in_bytes / 1e9:.2f} GB "
+              f"({time.time() - t0:.1f}s)")
+        temps = max(temps, mem.temp_size_in_bytes)
+
+    # LM decoder at a bucketed serving prompt length (template + ~196
+    # merged vision tokens + instruction → L=512 bucket). GSPMD XLA
+    # attention: a pallas_call would be replicated under annotation-driven
+    # sharding (models/qwen_vl._lm_attention docstring).
+    l = 512
+    hd = vlcfg.hidden_size // vlcfg.num_heads
+    lfn = jax.jit(lambda p, e, c, s, m: qwen_vl.lm_forward(
+        p, vlcfg, e, c, s, m, use_flash=False))
+    t0 = time.time()
+    compiled = lfn.lower(
+        abs_params["lm"], abs_((l, vlcfg.hidden_size), dt),
+        abs_((l, hd), jnp.float32), abs_((l, hd), jnp.float32),
+        abs_((l,), jnp.bool_)).compile()
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        print(f"  LM graph (L={l}): temps "
+              f"{mem.temp_size_in_bytes / 1e9:.2f} GB "
+              f"({time.time() - t0:.1f}s)")
+        temps = max(temps, mem.temp_size_in_bytes)
+    print("OK: 7B VL encoder compiles TP-sharded on the topology")
+    return {"params": pbytes, "temps": temps}
+
+
+def lower_vae(mesh):
+    """AOT the replicated VAE encode+decode at the 1024² serving bucket;
+    returns per-chip {params, temps} bytes.
+
+    The Pallas small-C conv kernel is disabled for this lowering: a Mosaic
+    custom call inside a multi-device GSPMD jit cannot be auto-partitioned
+    even when fully replicated — single-chip serving keeps the kernel; the
+    pod VAE runs XLA convs (same math, ~1.3× slower decode)."""
+    import os
+
+    from qwen_image_edit_streamdiffusion_tpu.models import vae as vae_mod
+
+    prior_conv_env = os.environ.get("QIE_PALLAS_CONV")
+    os.environ["QIE_PALLAS_CONV"] = "0"
+
+    preset = get_preset("qwen-image-edit-2509")
+    vcfg = preset.vae
+    shapes = jax.eval_shape(
+        lambda: vae_mod.init(jax.random.PRNGKey(0), vcfg))
+    pbytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
+                 for s in jax.tree_util.tree_leaves(shapes))
+    rep = NamedSharding(mesh, P())
+    abs_params = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
+        shapes)
+    dt = jnp.dtype(vcfg.dtype)
+    temps = 0
+    for name, fn, arg in (
+        ("encode", lambda p, x: vae_mod.encode(p, vcfg, x),
+         jax.ShapeDtypeStruct((1, 1024, 1024, 3), dt, sharding=rep)),
+        ("decode", lambda p, z: vae_mod.decode(p, vcfg, z),
+         jax.ShapeDtypeStruct((1, 128, 128, vcfg.latent_channels), dt,
+                              sharding=rep)),
+    ):
+        t0 = time.time()
+        mem = jax.jit(fn).lower(abs_params, arg).compile().memory_analysis()
+        if mem is not None:
+            print(f"  VAE {name} @1024²: temps "
+                  f"{mem.temp_size_in_bytes / 1e9:.2f} GB "
+                  f"({time.time() - t0:.1f}s)")
+            temps = max(temps, mem.temp_size_in_bytes)
+    if prior_conv_env is None:
+        del os.environ["QIE_PALLAS_CONV"]
+    else:
+        os.environ["QIE_PALLAS_CONV"] = prior_conv_env
+    print(f"VAE params (replicated): {pbytes / 1e9:.2f} GB/chip")
+    return {"params": pbytes, "temps": temps}
 
 
 def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
@@ -145,6 +293,7 @@ def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
         print(f"serialized executable → {save} "
               f"({len(payload) / 1e6:.1f} MB, {time.time() - t0:.1f}s)")
     mem = compiled.memory_analysis()
+    result = None
     if mem is not None:
         total = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
                  + mem.output_size_in_bytes)
@@ -152,10 +301,15 @@ def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
               f"+ temps {mem.temp_size_in_bytes / 1e9:.2f} GB = "
               f"{total / 1e9:.2f} GB "
               f"({'fits' if total < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
+        result = {"params": mem.argument_size_in_bytes,
+                  "temps": mem.temp_size_in_bytes
+                  + mem.output_size_in_bytes}
     print("OK: full 20B serving denoise loop compiles TP+CFG-sharded")
+    return result
 
 
-def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False):
+def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False,
+         vl: bool = False, use_int8_vl: bool = False):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
 
@@ -167,8 +321,39 @@ def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False):
         mesh = meshes.make_mesh(cfg_axis=2, model_axis=n_devices // 2,
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
+    if vl and not loop:
+        lower_vl(mesh, is_tpu, use_int8_vl=use_int8_vl)
+        return
     if loop:
-        return lower_serving_loop(mesh, is_tpu, use_int8=use_int8)
+        loop_mem = lower_serving_loop(mesh, is_tpu, use_int8=use_int8)
+        if not vl:
+            return
+        # --loop --vl: the COMPLETE per-chip deployment budget (VERDICT r2
+        # missing #1). All three param sets are resident simultaneously;
+        # phase temps (VL encode → denoise loop → VAE decode) never
+        # coexist, so peak = Σ params + max(phase temps).
+        vl_mem = lower_vl(mesh, is_tpu, use_int8_vl=use_int8_vl)
+        vae_mem = lower_vae(mesh)
+        if loop_mem is None:
+            print("no memory analysis available on this target")
+            return
+        resident = (loop_mem["params"] + vl_mem["params"]
+                    + vae_mem["params"])
+        peak_temps = max(loop_mem["temps"], vl_mem["temps"],
+                         vae_mem["temps"])
+        peak = resident + peak_temps
+        print("—" * 60)
+        print(f"COMBINED per-chip budget ({dict(mesh.shape)}):")
+        print(f"  transformer shard + loop IO  {loop_mem['params'] / 1e9:6.2f} GB")
+        print(f"  VL encoder shard             {vl_mem['params'] / 1e9:6.2f} GB")
+        print(f"  VAE (replicated)             {vae_mem['params'] / 1e9:6.2f} GB")
+        print(f"  peak phase temps             {peak_temps / 1e9:6.2f} GB "
+              f"(loop {loop_mem['temps'] / 1e9:.2f} / "
+              f"vl {vl_mem['temps'] / 1e9:.2f} / "
+              f"vae {vae_mem['temps'] / 1e9:.2f})")
+        print(f"  TOTAL                        {peak / 1e9:6.2f} GB "
+              f"({'FITS' if peak < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
+        return
 
     t0 = time.time()
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
@@ -227,4 +412,6 @@ if __name__ == "__main__":
 
     n = 4 if "--v5e-4" in sys.argv else 8
     main(n_devices=n, loop="--loop" in sys.argv,
-         use_int8="--int8" in sys.argv)
+         use_int8="--int8" in sys.argv,
+         vl="--vl" in sys.argv,
+         use_int8_vl="--int8-vl" in sys.argv)
