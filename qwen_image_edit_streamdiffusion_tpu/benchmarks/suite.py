@@ -19,6 +19,8 @@ scripts (SURVEY.md §2.1/§3.5) as one CLI.
 | stream            | qwen_realtime.py run_benchmark (fps, temporal cache)  |
 | realtime          | qwen_realtime.py camera mode (cv2 loop / sine fallback)|
 | serve             | HTTP /edit p50/p90 through the real wire path         |
+| multicond         | two-condition-image edit (upstream image=[a,b]; the   |
+|                   | HBM-streaming flash shape at 1024², in situ)          |
 
 Timing methodology mirrors the reference (§3.5): warmup runs, then
 synchronize-bracketed timed runs (block_until_ready), avg/min/max printed.
@@ -301,6 +303,24 @@ def bench_realtime(args):
           f"{stats.get('frame_count', 0)} frames")
 
 
+def bench_multicond(args):
+    """Two-condition-image edit at full size (upstream `image=[a, b]`
+    signature, SURVEY.md §2.2). At 1024² the joint sequence is ~12.5k
+    tokens — K/V exceed the resident flash kernel's VMEM budget, so this
+    times the HBM-streaming kernel variant in situ (VERDICT r2 next #4:
+    its 10.9 ms/layer micro-benchmark claim, validated end-to-end)."""
+    pipe = _mk_pipe(args)
+    a = imaging.make_test_image(args.size, args.size, "circle")
+    b = imaging.make_test_image(args.size, args.size, "gradient")
+
+    def run():
+        return pipe([a, b], "apply the reference style",
+                    num_inference_steps=args.steps, seed=42)
+
+    _timed(_edit_fn(pipe, a, args.steps), args.runs, label="1-cond edit")
+    _timed(run, args.runs, label="2-cond edit")
+
+
 def bench_serve(args):
     """HTTP p50/p90 of POST /edit through the real wire path (base64 JPEG
     in/out, 512² input like the reference client, App.js:117-135) — fast
@@ -342,6 +362,7 @@ def bench_serve(args):
         n = max(10, args.runs)
         for mode, extra in (("fast", {}), ("cfg", {"use_cfg": True})):
             ts = []
+            first = None
             for i in range(n + 1):
                 img = imaging.make_test_image(512, 512, "gradient")
                 buf = io.BytesIO()
@@ -355,7 +376,12 @@ def bench_serve(args):
                     "steps": args.steps, **extra,
                 }
                 dt = post(body)
-                if i > 0:  # first request compiles/warms the bucket
+                if i == 0:
+                    # reported, not hidden (VERDICT r2 next #3): with the
+                    # warmup bucket matrix this should sit near p50; a
+                    # multi-second value means the bucket was cold
+                    first = dt
+                else:
                     ts.append(dt)
             ts.sort()
             p50 = statistics.median(ts)
@@ -363,7 +389,7 @@ def bench_serve(args):
             # not the max
             p90 = ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]
             print(f"  /edit {mode:<4} p50 {p50:.3f}s  p90 {p90:.3f}s  "
-                  f"max {ts[-1]:.3f}s  "
+                  f"max {ts[-1]:.3f}s  first {first:.3f}s  "
                   f"(n={len(ts)}, distinct prompts → cache-miss path)")
     finally:
         srv.shutdown()
@@ -372,6 +398,7 @@ def bench_serve(args):
 BENCHES = {
     "smoke": bench_smoke,
     "serve": bench_serve,
+    "multicond": bench_multicond,
     "realtime": bench_realtime,
     "minimal": bench_minimal,
     "device_speed": bench_device_speed,

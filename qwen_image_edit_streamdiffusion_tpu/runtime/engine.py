@@ -33,8 +33,16 @@ class ModelNotLoaded(Exception):
 @dataclass
 class InferenceEngine:
     pipeline: Optional[Any] = None  # EditPipeline
-    input_size: int = 512  # reference resizes inputs to 512² (server.py:132)
+    # Input resize applied to every request before the pipeline (reference
+    # parity: server.py:132 resizes to 512² regardless of output size — the
+    # default 1024² output is an upscale edit). Configure via
+    # create(input_size=...), the server's --input-size, or QIE_INPUT_SIZE.
+    input_size: int = 512
     default_steps: int = 2
+    # Warm the CFG variant of the serving bucket too (SURVEY §7.1 item 4):
+    # a cold compile here costs minutes through the tunnel, so the first
+    # use_cfg=true request must not pay it.
+    warmup_cfg: bool = True
     # False (reference parity): concurrent requests get 429. True: requests
     # queue on the lock and run serially (set via QIE_QUEUE=1 in serving).
     queue_requests: bool = False
@@ -51,6 +59,8 @@ class InferenceEngine:
         config: Optional[StreamConfig] = None,
         seed: int = 0,
         warmup_runs: int = 1,
+        warmup_cfg: Optional[bool] = None,
+        input_size: Optional[int] = None,
         transformer_path: Optional[str] = None,
         vae_path: Optional[str] = None,
         vl_path: Optional[str] = None,
@@ -77,17 +87,30 @@ class InferenceEngine:
             )
         else:
             pipe = EditPipeline.create(preset, config=config, seed=seed, **kw)
+        import os
+
+        if warmup_cfg is None:
+            warmup_cfg = os.environ.get("QIE_WARMUP_CFG", "1") == "1"
+        if input_size is None:
+            input_size = int(os.environ.get("QIE_INPUT_SIZE", "512"))
         eng = cls(pipeline=pipe,
-                  default_steps=pipe.config.num_inference_steps)
+                  default_steps=pipe.config.num_inference_steps,
+                  warmup_cfg=warmup_cfg, input_size=input_size)
         if warmup_runs:
             eng.warmup(runs=warmup_runs)
         return eng
 
     def warmup(self, runs: int = 1) -> None:
-        """AOT-compile the serving bucket (reference server.py:83-95)."""
+        """AOT-compile the serving bucket matrix (reference server.py:83-95
+        warms one config; here both CFG variants of the bucket when
+        warmup_cfg — SURVEY §7.1 item 4). The warmup image goes through the
+        same input_size resize as real requests so the compiled shapes
+        match what /edit dispatches."""
         if self.pipeline is None:
             raise ModelNotLoaded("no pipeline")
-        self.pipeline.warmup(steps=self.default_steps, runs=runs)
+        self.pipeline.warmup(height=self.input_size, width=self.input_size,
+                             steps=self.default_steps, runs=runs,
+                             cfg=self.warmup_cfg)
 
     # ------------------------------------------------------------------
 
@@ -95,7 +118,12 @@ class InferenceEngine:
         """Process one EditRequest dict → EditResponse dict.
 
         Fields (reference server.py:43-55): image (b64), prompt, steps,
-        ref_image (optional b64), blend_ratio, use_cfg.
+        ref_image (optional b64), blend_ratio, use_cfg. Extension beyond
+        the reference wire: ref_mode — "blend" (default, reference parity:
+        PIL-blend the two images into one input) or "condition" (pass the
+        ref image as a SECOND condition image to the pipeline, the
+        upstream `image=[a, b]` multi-image signature the reference UI
+        never exposed — SURVEY.md §2.2, VERDICT r2 next #4).
         """
         if self.pipeline is None:
             raise ModelNotLoaded("Model not loaded")
@@ -108,23 +136,27 @@ class InferenceEngine:
             steps = int(request.get("steps", self.default_steps))
             use_cfg = bool(request.get("use_cfg", False))
 
+            s = self.input_size
+            extra_images = []
             ref_b64 = request.get("ref_image")
             if ref_b64:
                 ref = imaging.base64_to_pil(ref_b64)
-                s = self.input_size
-                img = imaging.blend(
-                    imaging.resize(img, s, s),
-                    imaging.resize(ref, s, s),
-                    float(request.get("blend_ratio", 0.5)),
-                )
+                if request.get("ref_mode", "blend") == "condition":
+                    extra_images = [imaging.resize(ref, s, s)]
+                else:
+                    img = imaging.blend(
+                        imaging.resize(img, s, s),
+                        imaging.resize(ref, s, s),
+                        float(request.get("blend_ratio", 0.5)),
+                    )
 
-            img = imaging.resize(img, self.input_size, self.input_size)
+            img = imaging.resize(img, s, s)
 
             # CFG convention parity (server.py:135-153): use_cfg passes an
             # empty negative prompt (engaging true CFG); fast mode is
             # cond-only.
             result = self.pipeline(
-                img,
+                [img] + extra_images,
                 prompt,
                 negative_prompt="" if use_cfg else None,
                 num_inference_steps=steps,

@@ -146,6 +146,9 @@ def create_fastapi_app(engine: InferenceEngine):
         ref_image: str | None = None
         blend_ratio: float = 0.5
         use_cfg: bool = False
+        # "blend" (reference parity) | "condition" (second condition image
+        # via the upstream multi-image pipeline signature)
+        ref_mode: str = "blend"
 
     class EditResponse(BaseModel):
         image: str
@@ -189,7 +192,16 @@ def main(argv=None):
                                            "qwen-image-edit-2509"))
     ap.add_argument("--steps", type=int,
                     default=int(os.environ.get("QIE_STEPS", "2")))
+    # Reference parity: every request input is resized to input-size²
+    # before the pipeline (server.py:132) while the OUTPUT is QIE_SIZE /
+    # area-1024² — i.e. the default serving config is a 512²-input upscale
+    # edit (VERDICT r2 next #7).
+    ap.add_argument("--input-size", type=int,
+                    default=int(os.environ.get("QIE_INPUT_SIZE", "512")))
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--no-warmup-cfg", action="store_true",
+                    help="skip compiling the use_cfg bucket at startup "
+                         "(first CFG request then pays the compile)")
     # Converted-orbax checkpoints (models.checkpoint CLI output). Without
     # these the server runs random-init weights (ADVICE r1: the wire-
     # compatible server must be able to serve real converted weights).
@@ -243,6 +255,8 @@ def main(argv=None):
     engine = InferenceEngine.create(
         args.preset, config=config,
         warmup_runs=0 if args.no_warmup else 1,
+        warmup_cfg=False if args.no_warmup_cfg else None,
+        input_size=args.input_size,
         mesh=mesh,
         transformer_path=args.transformer, vae_path=args.vae,
         vl_path=args.vl, lora_path=args.lora,

@@ -117,3 +117,27 @@ def test_non_square_default_output():
     w, h = res.images[0].size
     assert w % 16 == 0 and h % 16 == 0
     assert w > h  # aspect preserved
+
+
+def test_multi_condition_images(pipe, test_img):
+    """Upstream multi-image signature `image=[a, b]` (SURVEY.md §2.2,
+    VERDICT r2 next #4): both condition images' tokens ride the joint
+    sequence (concatenated, each on its own RoPE frame index), output
+    stays finite, and the second image actually changes the result."""
+    ref = imaging.make_test_image(64, 64, "gradient")
+    res = pipe([test_img, ref], "blend the styles", num_inference_steps=2,
+               seed=42)
+    assert len(res.images) == 1
+    arr = np.asarray(res.images[0])
+    assert np.isfinite(arr).all()
+
+    # the two-image bucket is its own compiled graph with 3 img_shapes
+    keys = [k for k in pipe._jit_cache
+            if k[0] == "denoise" and len(k[2]) == 3]
+    assert keys, "two-condition denoise bucket not compiled"
+
+    single = pipe(test_img, "blend the styles", num_inference_steps=2,
+                  seed=42)
+    assert np.abs(
+        np.asarray(single.images[0], np.int16) - arr.astype(np.int16)
+    ).max() > 0

@@ -151,3 +151,35 @@ def test_ui_served(server_url):
     with urllib.request.urlopen(url + "/ui", timeout=30) as r:
         html = r.read().decode()
     assert r.status == 200 and "/edit" in html and "webcam" in html.lower()
+
+
+def test_warmup_compiles_cfg_bucket_matrix():
+    """Engine warmup must compile BOTH CFG variants of the serving bucket
+    (SURVEY §7.1 item 4 / VERDICT r2 next #3): a cold server's first
+    use_cfg=true request replays a warm graph instead of stalling on a
+    tunnel-scale compile."""
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=1,
+                             warmup_cfg=True)
+    engine.warmup()
+    modes = {k[5] for k in pipe._jit_cache if k[0] == "denoise"}
+    assert "none" in modes
+    assert TINY_STREAM.cfg_mode in modes  # the use_cfg variant
+
+
+def test_ref_mode_condition_two_image_edit(server_url):
+    """ref_mode="condition" routes the ref image through the upstream
+    multi-image signature instead of PIL-blending (VERDICT r2 next #4)."""
+    url, engine = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "circle"))
+    ref = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gradient"))
+    code, body = _post(url + "/edit", {
+        "image": img, "ref_image": ref, "ref_mode": "condition",
+        "prompt": "apply the reference style", "steps": 1,
+    })
+    assert code == 200 and body["status"] == "success"
+    out = imaging.base64_to_pil(body["image"])
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # the pipeline saw TWO condition images (3 img_shapes in the bucket)
+    assert any(k[0] == "denoise" and len(k[2]) == 3
+               for k in engine.pipeline._jit_cache)
