@@ -64,6 +64,7 @@ def compute_activations(
     preset_name: str = "tiny",
     params_override: Dict[str, object] | None = None,
     components: set | None = None,
+    tokenizer=None,
 ) -> Dict[str, np.ndarray]:
     """Deterministic module-level forwards.
 
@@ -162,7 +163,7 @@ def compute_activations(
         return out
     vlcfg = preset.vl
     enc = qwen_vl.QwenVLEncoder(vlcfg, params=override.get("vl"),
-                                seed=0, max_len=64)
+                                seed=0, max_len=64, tokenizer=tokenizer)
     vimg = _rng(8).integers(0, 255, (64, 64, 3)).astype(np.uint8)
     patches, gh, gw = qwen_vl.extract_patches(vimg, vlcfg)
     vt = qwen_vl.vision_forward(
@@ -181,11 +182,19 @@ def compute_activations(
 def compare(
     got: Dict[str, np.ndarray], want: Dict[str, np.ndarray],
     atol: float = 3e-2, rtol: float = 3e-2,
+    subset: bool = False,
 ) -> list:
-    """Returns a list of failure strings (empty = parity)."""
+    """Returns a list of failure strings (empty = parity).
+
+    subset=True (hf mode with a components subset) tolerates keys absent
+    from ``got``; in full mode a key that stopped being produced is itself
+    a failure — otherwise a regression that drops an activation would pass
+    vacuously (ADVICE r2 #2)."""
     failures = []
     for k in GOLDEN_KEYS:
         if k not in got:
+            if not subset:
+                failures.append(f"{k}: not produced by compute_activations")
             continue  # component skipped (hf mode subset)
         if k not in want:
             failures.append(f"{k}: missing from goldens")
@@ -266,15 +275,27 @@ def main(argv=None):
         print("hf mode needs at least one of --transformer/--vae/--vl")
         return 2
     print(f"converted components: {sorted(loaded)}")
+    tokenizer = None
+    if args.vl:
+        try:  # real tokenizer → vl.chat_ids compares against the capture
+            from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
+                load_hf_tokenizer,
+            )
+
+            tokenizer = load_hf_tokenizer(args.vl)
+        except Exception as e:
+            print(f"(no HF tokenizer at --vl dir: {e}; "
+                  "vl.chat_ids will use the hashed fallback)")
     acts = compute_activations(args.preset, params_override=loaded,
-                               components=set(loaded))
+                               components=set(loaded), tokenizer=tokenizer)
     want = dict(np.load(args.goldens))
     prefixes = {"transformer": ("transformer.", "pack.", "scheduler.",
                                 "cfg."),
                 "vae": ("vae.",), "vl": ("vl.",)}
     keys = [k for k in GOLDEN_KEYS
             if any(k.startswith(p) for c in loaded for p in prefixes[c])]
-    failures = [f for f in compare(acts, want) if f.split(":")[0] in keys]
+    failures = [f for f in compare(acts, want, subset=True)
+                if f.split(":")[0] in keys]
     for f in failures:
         print(f"FAIL {f}")
     print("parity OK" if not failures else f"{len(failures)} failures")
