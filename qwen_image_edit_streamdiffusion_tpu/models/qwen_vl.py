@@ -482,6 +482,49 @@ def smart_resize_hw(h: int, w: int, factor: int, min_pixels: int,
     return nh, nw
 
 
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def resize_for_vl(img: np.ndarray, cfg: VLConfig
+                  ) -> Tuple[np.ndarray, int, int]:
+    """Host half of patch extraction: HF-exact smart-resize only, staying
+    uint8. Returns ((nh, nw, 3) uint8, gh, gw).
+
+    The normalize/patchify half runs on-device (:func:`patches_from_image`)
+    so the host→device transfer is the 0.4 MB uint8 image instead of the
+    3.7 MB f32 patch matrix — on the tunneled accelerator that upload was
+    the single biggest cost of a VL prompt encode."""
+    from PIL import Image as PILImage
+
+    p = cfg.patch_size
+    factor = p * cfg.spatial_merge_size
+    h, w = img.shape[:2]
+    nh, nw = smart_resize_hw(h, w, factor, min_pixels=factor * factor * 4,
+                             max_pixels=factor * factor * 1280)
+    pil = PILImage.fromarray(img.astype(np.uint8))
+    arr = np.asarray(pil.resize((nw, nh), PILImage.BICUBIC), np.uint8)
+    return arr, nh // p, nw // p
+
+
+def patches_from_image(arr: jnp.ndarray, cfg: VLConfig, gh: int, gw: int,
+                       dtype=None) -> jnp.ndarray:
+    """Device half: (nh, nw, 3) uint8 → (gh·gw, 3·tp·p²) normalized patch
+    matrix (CLIP mean/std, temporal frame duplicated). Pure jnp — lives
+    inside the vision jit."""
+    p = cfg.patch_size
+    tp = cfg.temporal_patch_size
+    x = arr.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGE_STD, jnp.float32)
+    x = (x - mean) / std
+    x = x.reshape(gh, p, gw, p, 3).transpose(0, 2, 4, 1, 3)
+    x = x.reshape(gh * gw, 3, p, p)
+    x = jnp.repeat(x[:, :, None], tp, axis=2)
+    out = x.reshape(gh * gw, 3 * tp * p * p)
+    return out.astype(dtype) if dtype is not None else out
+
+
 def extract_patches(img: np.ndarray, cfg: VLConfig) -> Tuple[np.ndarray, int, int]:
     """HWC uint8/float image → (gh*gw, 3·tp·p²) patch matrix (+ grid dims).
 
@@ -493,25 +536,17 @@ def extract_patches(img: np.ndarray, cfg: VLConfig) -> Tuple[np.ndarray, int, in
     duplicates the single frame over the temporal patch (HF behavior for
     images).
     """
-    from PIL import Image as PILImage
-
     p = cfg.patch_size
-    factor = p * cfg.spatial_merge_size
-    h, w = img.shape[:2]
+    tp = cfg.temporal_patch_size
     # HF Qwen2.5-VL processor defaults: min 4·28², max 1280·28² pixels.
-    nh, nw = smart_resize_hw(h, w, factor, min_pixels=factor * factor * 4,
-                             max_pixels=factor * factor * 1280)
-    gh, gw = nh // p, nw // p
-    pil = PILImage.fromarray(img.astype(np.uint8))
-    arr = np.asarray(pil.resize((nw, nh), PILImage.BICUBIC), np.float32) / 255.0
-    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-    arr = (arr - mean) / std
+    arr8, gh, gw = resize_for_vl(np.asarray(img), cfg)
+    arr = arr8.astype(np.float32) / 255.0
+    arr = (arr - np.asarray(IMAGE_MEAN, np.float32)) \
+        / np.asarray(IMAGE_STD, np.float32)
     # (gh, p, gw, p, 3) → (gh*gw, 3, p, p)
     patches = arr.reshape(gh, p, gw, p, 3).transpose(0, 2, 4, 1, 3)
     patches = patches.reshape(gh * gw, 3, p, p)
     # duplicate temporal frame: (L, 3, tp, p, p) → flatten
-    tp = cfg.temporal_patch_size
     patches = np.repeat(patches[:, :, None], tp, axis=2)
     return patches.reshape(gh * gw, 3 * tp * p * p), gh, gw
 
@@ -542,12 +577,18 @@ class QwenVLEncoder:
     # -- jit helpers ----------------------------------------------------
 
     def _vision_fn(self, gh: int, gw: int):
+        """One jit per grid: uint8 image in, merged vision tokens out.
+        Normalization + patchify happen on-device (patches_from_image) —
+        the upload is the uint8 image, ~8.5× fewer bytes than the f32
+        patch matrix (≈100 ms/request on the tunneled link)."""
         key = ("vision", gh, gw)
         if key not in self._jit_cache:
             cfg = self.cfg
+            dtype = jnp.dtype(cfg.dtype)
 
             @jax.jit
-            def run(params, patches):
+            def run(params, img_u8):
+                patches = patches_from_image(img_u8, cfg, gh, gw, dtype)
                 return vision_forward(params, cfg, patches, gh, gw)
 
             self._jit_cache[key] = run
@@ -572,15 +613,14 @@ class QwenVLEncoder:
     def encode(self, prompt: str, images: Sequence[np.ndarray] = ()
                ) -> PromptEmbedding:
         cfg = self.cfg
-        dtype = jnp.dtype(cfg.dtype)
         tok = self.tokenizer
 
         vision_tokens: List[jnp.ndarray] = []
         grids: List[Tuple[int, int]] = []
         for img in images:
-            patches, gh, gw = extract_patches(np.asarray(img), cfg)
+            arr8, gh, gw = resize_for_vl(np.asarray(img), cfg)
             vt = self._vision_fn(gh, gw)(
-                self.params["vision"], jnp.asarray(patches, dtype)
+                self.params["vision"], jnp.asarray(arr8)
             )
             vision_tokens.append(vt)
             grids.append((gh, gw))

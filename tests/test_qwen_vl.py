@@ -268,3 +268,19 @@ def test_windowed_attention_equals_masked_reference(tiny_preset):
         ow.reshape(nw * wmax, nh * hd)[jnp.asarray(win_ids * wmax + slot)]
     )
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_patches_from_image_matches_extract_patches(tiny_preset):
+    """The on-device patchify (uint8 upload, normalize+reshape inside the
+    vision jit) must produce the same patch matrix as the numpy reference
+    extract_patches — only the transfer format changed, not the math."""
+    import jax.numpy as jnp
+
+    cfg = tiny_preset.vl
+    img = np.random.default_rng(3).integers(
+        0, 255, (50, 70, 3)).astype(np.uint8)
+    ref, gh, gw = qwen_vl.extract_patches(img, cfg)
+    arr8, gh2, gw2 = qwen_vl.resize_for_vl(img, cfg)
+    assert (gh, gw) == (gh2, gw2)
+    dev = qwen_vl.patches_from_image(jnp.asarray(arr8), cfg, gh, gw)
+    np.testing.assert_allclose(np.asarray(dev), ref, atol=1e-6, rtol=1e-6)
