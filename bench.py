@@ -95,6 +95,22 @@ def main():
         print(f"# cached run {i + 1}/{runs}: {cached[-1]:.3f}s",
               file=sys.stderr)
 
+    # Serving transfer format (server/stream default): YCbCr 4:2:0 pixels
+    # over the link — half the fetch bytes, lossless w.r.t. the JPEG-q90
+    # wire the reference serves. The headline `value` stays exact-RGB for
+    # protocol continuity with earlier rounds; this field shows what the
+    # production /edit path pays.
+    pipe.config = pipe.config.replace(transfer_format="yuv420")
+    pipe(distinct_image(2000), "warmup", num_inference_steps=steps)
+    yuv = []
+    for i in range(runs):
+        t0 = time.time()
+        pipe(distinct_image(1000 + i), prompt,
+             num_inference_steps=steps, seed=42)
+        yuv.append(time.time() - t0)
+        print(f"# yuv420 run {i + 1}/{runs}: {yuv[-1]:.3f}s",
+              file=sys.stderr)
+
     sec = statistics.median(uncached)
     print(json.dumps({
         "metric": f"sec/image {size}x{size} {steps}-step cond-only edit, "
@@ -104,6 +120,7 @@ def main():
         "unit": "s/img",
         "vs_baseline": round(BASELINE_SEC / sec, 3),
         "cached_s_img": round(statistics.median(cached), 4),
+        "yuv420_s_img": round(statistics.median(yuv), 4),
     }))
 
 
