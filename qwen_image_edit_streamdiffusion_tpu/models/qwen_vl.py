@@ -636,9 +636,14 @@ class QwenVLEncoder:
         # Bucket the sequence length (pad + mask) so prompt-length changes
         # never retrace ANY graph — on TPU a retrace costs minutes
         # (SURVEY.md §7.3 item 3). All padding happens host-side in numpy;
-        # embedding assembly below is one jitted dispatch.
+        # embedding assembly below is one jitted dispatch. 128-token
+        # granularity: the template + one image's vision span is ~290
+        # tokens, so every instruction up to ~90 tokens lands in the SAME
+        # bucket as the server's warmup prompt — a finer 32-bucket made
+        # the first request of each new prompt length pay a multi-second
+        # LM-graph compile (measured: 4.4 s first /edit vs 0.63 s p50).
         n_real = len(ids)
-        bucket = 32
+        bucket = 128
         l = max(bucket, -(-n_real // bucket) * bucket)
         ids_padded = np.zeros((l,), np.int32)
         ids_padded[:n_real] = np.asarray(ids, np.int32)

@@ -647,11 +647,15 @@ class EditPipeline:
         dummy = imaging.make_test_image(w, h, "gray")
         t0 = time.time()
         n_steps = steps or self.config.num_inference_steps
+        # Warm with the serving default prompt so the VL encoder's
+        # length-bucketed graphs match what real requests dispatch (a
+        # different bucket = a multi-second LM compile on request #1).
+        prompt = "Transform into oil painting style"
         for _ in range(max(1, runs)):
-            self(dummy, "test", num_inference_steps=n_steps)
+            self(dummy, prompt, num_inference_steps=n_steps)
         if cfg:
             # the server's use_cfg convention: empty negative prompt
             # (engine.edit, reference server.py:135-153)
-            self(dummy, "test", negative_prompt="",
+            self(dummy, prompt, negative_prompt="",
                  num_inference_steps=n_steps)
         return time.time() - t0

@@ -211,7 +211,7 @@ def test_mrope_sections_use_correct_coordinates(tiny_preset):
 def test_prompt_length_does_not_retrace(enc):
     enc.encode("one two three")
     n0 = len(enc._jit_cache)
-    enc.encode("a different number of tokens here ok")  # same 32-bucket
+    enc.encode("a different number of tokens here ok")  # same 128-bucket
     assert len(enc._jit_cache) == n0, "LM retraced on prompt-length change"
 
 
