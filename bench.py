@@ -76,6 +76,14 @@ def main():
     print(f"# compile+first-run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     prompt = "Transform into oil painting style"
+    # Settle run: the tunnel's first bulk transfer after a long compile
+    # burst is reliably degraded (measured 4-15 s vs 0.77 s steady, three
+    # separate sessions); one thrown-away cache-miss run restores steady
+    # state before timing — the reference warms 2-3 iterations for the
+    # same reason (benchmark_lightning.py:21-33).
+    t0 = time.time()
+    pipe(distinct_image(1001), prompt, num_inference_steps=steps, seed=42)
+    print(f"# settle run: {time.time() - t0:.3f}s", file=sys.stderr)
     uncached = []
     for i in range(runs):
         t0 = time.time()
