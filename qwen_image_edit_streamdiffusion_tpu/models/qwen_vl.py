@@ -594,15 +594,29 @@ class QwenVLEncoder:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _lm_fn(self, l: int):
-        key = ("lm", l, self.use_flash)
+    def _lm_fn(self, l: int, vision_starts: Tuple[int, ...],
+               vt_shapes: Tuple):
+        """Fused embedding-assembly + decoder graph: token-table gather,
+        vision-token splice (static start offsets per template structure),
+        and the full LM forward in ONE jitted dispatch per
+        (bucket, template) key."""
+        key = ("lm", l, vision_starts, vt_shapes, self.use_flash)
         if key not in self._jit_cache:
             cfg = self.cfg
             use_flash = self.use_flash
+            starts = vision_starts
 
             @jax.jit
-            def run(params, embeds, cos, sin, mask):
-                return lm_forward(params, cfg, embeds, cos, sin, mask,
+            def run(params, ids_arr, cos, sin, mask, *vts):
+                # clip (not NaN-fill) out-of-range ids: real checkpoints
+                # cover the special ids; tiny test vocabs don't
+                emb = jnp.take(params["embed"], ids_arr, axis=0,
+                               mode="clip")
+                for s, vt in zip(starts, vts):
+                    emb = jax.lax.dynamic_update_slice(
+                        emb, vt.astype(emb.dtype), (s, 0)
+                    )
+                return lm_forward(params, cfg, emb, cos, sin, mask,
                                   use_flash=use_flash)
 
             self._jit_cache[key] = run
@@ -656,33 +670,12 @@ class QwenVLEncoder:
         attn_mask[:n_real] = True
         cos_np, sin_np = _mrope_tables(cfg, pos)
 
-        # jitted assembly: table gather + vision-token splice (static starts
-        # per template structure, so the graph is cached per bucket)
-        akey = ("assemble", l, tuple(vision_starts),
-                tuple(vt.shape for vt in vision_tokens))
-        if akey not in self._jit_cache:
-            starts = tuple(vision_starts)
-
-            @jax.jit
-            def assemble(table, ids_arr, *vts):
-                # clip (not NaN-fill) out-of-range ids: real checkpoints
-                # cover the special ids; tiny test vocabs don't
-                emb = jnp.take(table, ids_arr, axis=0, mode="clip")
-                for s, vt in zip(starts, vts):
-                    emb = jax.lax.dynamic_update_slice(
-                        emb, vt.astype(emb.dtype), (s, 0)
-                    )
-                return emb
-
-            self._jit_cache[akey] = assemble
-        embeds = self._jit_cache[akey](
-            self.params["lm"]["embed"], jnp.asarray(ids_padded),
-            *vision_tokens
-        )
-
-        hidden = self._lm_fn(l)(
-            self.params["lm"], embeds, jnp.asarray(cos_np),
-            jnp.asarray(sin_np), jnp.asarray(attn_mask)
+        hidden = self._lm_fn(
+            l, tuple(vision_starts),
+            tuple(vt.shape for vt in vision_tokens),
+        )(
+            self.params["lm"], jnp.asarray(ids_padded), jnp.asarray(cos_np),
+            jnp.asarray(sin_np), jnp.asarray(attn_mask), *vision_tokens
         )
         # Stay on device: fetching the (L, hidden) embeddings to host costs
         # ~60 ms over the axon tunnel for the 7B config and the pipeline
