@@ -35,17 +35,31 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--cfg", action="store_true",
                     help="true-CFG mode (slower, stronger prompt adherence)")
+    ap.add_argument("--ref", help="reference image (style/composite source)")
+    ap.add_argument("--ref-mode", default="blend",
+                    choices=["blend", "condition"],
+                    help="blend = PIL-composite the two inputs (reference "
+                         "parity); condition = pass the ref as a second "
+                         "condition image (multi-image editing)")
+    ap.add_argument("--blend-ratio", type=float, default=0.5)
     args = ap.parse_args()
 
-    img = center_crop_square(Image.open(args.image).convert("RGB"))
-    buf = io.BytesIO()
-    img.save(buf, "JPEG", quality=90)
+    def to_b64(path: str) -> str:
+        im = center_crop_square(Image.open(path).convert("RGB"))
+        buf = io.BytesIO()
+        im.save(buf, "JPEG", quality=90)
+        return base64.b64encode(buf.getvalue()).decode()
+
     body = {
-        "image": base64.b64encode(buf.getvalue()).decode(),
+        "image": to_b64(args.image),
         "prompt": args.prompt,
         "steps": args.steps,
         "use_cfg": args.cfg,
     }
+    if args.ref:
+        body["ref_image"] = to_b64(args.ref)
+        body["ref_mode"] = args.ref_mode
+        body["blend_ratio"] = args.blend_ratio
     req = urllib.request.Request(
         f"{args.server}/edit", json.dumps(body).encode(),
         {"Content-Type": "application/json"},

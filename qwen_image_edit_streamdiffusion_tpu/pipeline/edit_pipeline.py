@@ -228,8 +228,39 @@ class EditPipeline:
         first, second = (
             (like_fused, like_t) if fused_saved else (like_t, like_fused)
         )
+
+        def _shardings_for(like, spec_fn):
+            """Restore STRAIGHT into the TP layout when a mesh is active:
+            every host/device reads only its own shards. Loading the 40 GB
+            flagship transformer replicated first (then re-sharding) would
+            blow a 16 GB chip before sharding could happen."""
+            if mesh is None:
+                return None
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            return _jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), spec_fn(like),
+                is_leaf=lambda x: isinstance(x, _P),
+            )
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as _PS
+
+            from qwen_image_edit_streamdiffusion_tpu.parallel import (
+                sharding as shd,
+            )
+
+            tfm_spec_fn = shd.transformer_param_specs
+
+            def vae_spec_fn(like):  # replicated
+                return _jax.tree_util.tree_map(lambda _: _PS(), like)
+        else:
+            tfm_spec_fn = vae_spec_fn = None
         try:
-            tfm_params = ckpt.load(transformer_path, like=first)
+            tfm_params = ckpt.load(
+                transformer_path, like=first,
+                shardings=_shardings_for(first, tfm_spec_fn),
+            )
         except Exception as first_exc:
             # metadata-based layout detection can misread on orbax
             # versions whose metadata tree differs — fall back to the
@@ -238,10 +269,16 @@ class EditPipeline:
             # doesn't surface as a confusing second-layout mismatch alone
             # (ADVICE r2 #1).
             try:
-                tfm_params = ckpt.load(transformer_path, like=second)
+                tfm_params = ckpt.load(
+                    transformer_path, like=second,
+                    shardings=_shardings_for(second, tfm_spec_fn),
+                )
             except Exception as second_exc:
                 raise second_exc from first_exc
-        vae_params = ckpt.load(vae_path, like=like_v)
+        vae_params = ckpt.load(
+            vae_path, like=like_v,
+            shardings=_shardings_for(like_v, vae_spec_fn),
+        )
         if lora_path:
             from qwen_image_edit_streamdiffusion_tpu.models import lora
 
@@ -264,11 +301,33 @@ class EditPipeline:
             tfm_params = sharding.shard_transformer_params(tfm_params, mesh)
             vae_params = sharding.replicate(vae_params, mesh)
         if vl_path:
+            from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
             from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
                 QwenVLEncoder,
             )
 
-            vl_params = ckpt.load(vl_path)
+            if mesh is not None:
+                # restore the 7B encoder straight into its mesh layout too
+                from qwen_image_edit_streamdiffusion_tpu.parallel import (
+                    sharding as shd,
+                )
+
+                like_vl = _jax.eval_shape(
+                    lambda: qwen_vl._init_all(
+                        _jax.random.PRNGKey(0), preset.vl
+                    )
+                )
+                vl_axes = shd._vl_axes(mesh)
+                vl_shardings = _shardings_for(
+                    like_vl,
+                    lambda like: shd.vl_param_specs(
+                        like, axes=vl_axes, axis_sizes=dict(mesh.shape)
+                    ),
+                ) if vl_axes else None
+                vl_params = ckpt.load(vl_path, like=like_vl,
+                                      shardings=vl_shardings)
+            else:
+                vl_params = ckpt.load(vl_path)
             encoder: PromptEncoder = QwenVLEncoder(
                 preset.vl, params=vl_params,
                 max_len=preset.vl.max_text_len,
@@ -658,4 +717,8 @@ class EditPipeline:
             # (engine.edit, reference server.py:135-153)
             self(dummy, prompt, negative_prompt="",
                  num_inference_steps=n_steps)
+            # settle: the tunnel's first transfer after a compile burst is
+            # reliably degraded (see bench.py) — absorb it here so the
+            # first real request doesn't pay it
+            self(dummy, prompt, num_inference_steps=n_steps)
         return time.time() - t0

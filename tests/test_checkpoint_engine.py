@@ -108,3 +108,40 @@ def test_from_checkpoint_detects_unfused_layout(tmp_path, tiny_preset):
         np.asarray(a.images[0], np.float32),
         np.asarray(b.images[0], np.float32), atol=2.0,
     )
+
+
+def test_from_checkpoint_restores_straight_into_tp_layout(tmp_path):
+    """With a mesh, from_checkpoint must restore every component DIRECTLY
+    into its mesh layout (each device reads only its shards) — loading the
+    40 GB flagship transformer replicated first would OOM a 16 GB chip
+    before sharding could happen. Covers transformer (TP), VAE
+    (replicated), and the VL encoder (cfg×model sharded)."""
+    from qwen_image_edit_streamdiffusion_tpu.core import meshes
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    cfg = TINY_STREAM.replace(fuse_qkv=False, cfg_mode="parallel",
+                              mesh_cfg_axis=2, mesh_model_axis=4)
+    src = EditPipeline.create("tiny", config=cfg, seed=0)
+    tp, vp, vl = str(tmp_path / "t"), str(tmp_path / "v"), str(tmp_path / "l")
+    ckpt.save(tp, src.tfm_params)
+    ckpt.save(vp, src.vae_params)
+    # save an UNSHARDED copy of the VL params (what the conversion CLI
+    # writes) — restore must place them sharded
+    unsharded_vl = jax.tree_util.tree_map(np.asarray, src.encoder.params)
+    ckpt.save(vl, unsharded_vl)
+
+    mesh = meshes.make_mesh(cfg_axis=2, model_axis=4)
+    pipe = EditPipeline.from_checkpoint(tp, vp, preset="tiny", config=cfg,
+                                        vl_path=vl, mesh=mesh)
+    w = pipe.tfm_params["blocks"][0]["attn"]["img_q"]["w"]
+    assert len(w.sharding.device_set) == 8
+    assert w.sharding.shard_shape(w.shape)[1] == w.shape[1] // 4  # model=4
+    vlw = pipe.encoder.params["lm"]["blocks"][0]["q_proj"]["w"]
+    assert not vlw.sharding.is_fully_replicated
+
+    img = imaging.make_test_image(64, 64, "circle")
+    out = pipe(img, "stylize", num_inference_steps=1, seed=42)
+    assert np.isfinite(np.asarray(out.images[0], np.float32)).all()

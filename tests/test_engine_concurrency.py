@@ -125,3 +125,16 @@ def test_bench_suite_realtime_path(capsys):
                 "--steps", "1", "--runs", "3"])
     out = capsys.readouterr().out
     assert "realtime loop:" in out
+
+
+def test_engine_create_input_size_env(monkeypatch):
+    """input_size plumbs through create() / QIE_INPUT_SIZE (VERDICT r2
+    next #7: the serving input-size convention is configurable, not
+    hardcoded)."""
+    monkeypatch.setenv("QIE_INPUT_SIZE", "64")
+    e1 = InferenceEngine.create("tiny", config=TINY_STREAM, warmup_runs=0,
+                                warmup_cfg=False)
+    assert e1.input_size == 64  # factory reads the env
+    e2 = InferenceEngine.create("tiny", config=TINY_STREAM, warmup_runs=0,
+                                warmup_cfg=False, input_size=128)
+    assert e2.input_size == 128  # explicit arg wins

@@ -319,3 +319,17 @@ def test_int8_tp_forward_matches_single_device(tiny):
         np.asarray(ref, np.float32), np.asarray(out, np.float32),
         atol=1e-4, rtol=1e-3,
     )
+
+
+def test_vl_fit_axes_fallback_ladder():
+    """Even-tiling ladder: a dim that doesn't divide the full cfg×model
+    product falls back to an axes suffix (the 3420-wide vision MLP on a
+    2×4 mesh shards over `model` alone), or replicates."""
+    sizes = {"cfg": 2, "model": 4}
+    assert sharding._fit_axes(("cfg", "model"), 3584, sizes) == (
+        "cfg", "model")
+    assert sharding._fit_axes(("cfg", "model"), 3420, sizes) == ("model",)
+    assert sharding._fit_axes(("cfg", "model"), 6, sizes) is None
+    assert sharding._fit_axes(("cfg", "model"), 7, sizes) is None
+    assert sharding._fit_axes(("cfg", "model"), None, sizes) == (
+        "cfg", "model")  # no shape info → structure-only
