@@ -29,6 +29,10 @@ Flags:
   --int8      quantize transformer block linears first; with --v5e-4 the
               loop fits HALF the chips (10.88 GB/chip on a 2×2 v5e-4).
   --int8-vl   weight-only int8 for the VL encoder (halves its shard).
+  --stream    AOT the realtime pipeline's fused temporal frame graph
+              (VAE encode → re-noise → tail denoise → decode, ONE
+              dispatch) at 1024² with batched CFG: 12.43 GB/chip on
+              v5e-8 — the realtime product deploys at 20B scale too.
   --v5e-4     target a 4-chip topology instead of 8.
   QIE_AOT_SAVE=<path> additionally serializes the compiled executable
               (~212 MB) — ship to the pod and deserialize_and_load to
@@ -308,8 +312,95 @@ def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
     return result
 
 
+def lower_stream(mesh, is_tpu: bool):
+    """AOT the realtime stream's fused TEMPORAL frame graph — VAE encode →
+    re-noise → tail denoise → VAE decode in ONE executable — for the 20B
+    preset at 1024², TP + batched-CFG on the topology.
+
+    This is the flagship answer to 1024² realtime (single-chip measures
+    2.1 fps, transfer- and model-bound): the model call is TP-sharded
+    4-way here, and the whole frame is one dispatch. Proves the realtime
+    product (not just /edit) deploys at full scale."""
+    from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+
+    prior_conv_env = os.environ.get("QIE_PALLAS_CONV")
+    os.environ["QIE_PALLAS_CONV"] = "0"  # Mosaic can't auto-partition
+
+    preset = get_preset("qwen-image-edit-2509")
+    cfg = preset.model
+    config = StreamConfig(model_preset=preset.name, cfg_mode="batched",
+                          width=1024, height=1024,
+                          use_flash_attention=is_tpu, fuse_qkv=False,
+                          transfer_format="yuv420")
+    pipe = EditPipeline(preset=preset, config=config, tfm_params=None,
+                        vae_params=None, encoder=None, mesh=mesh)
+    rt = RealtimePipeline(pipe=pipe)
+
+    zh = zw = 128  # 1024² → 128² latents → 64² patches
+    steps = 2
+    fn = rt._fused_frame_fn(
+        "temporal", hw_in=(1024, 1024), zh=zh, zw=zw,
+        cond_shapes=[(1, zh // 2, zw // 2)], txt_len=256, steps=steps,
+        start=steps // 2, use_cfg=True,
+    )
+
+    shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    specs = sharding.transformer_param_specs(shapes)
+    tfm_abs = jax.tree_util.tree_map(
+        lambda s, p: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, p)),
+        shapes, specs,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.models import vae as vae_mod
+
+    rep = NamedSharding(mesh, P())
+    vae_abs = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
+        jax.eval_shape(lambda: vae_mod.init(jax.random.PRNGKey(1),
+                                            preset.vae)),
+    )
+    abs_ = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+    key_dtype = jax.eval_shape(lambda: jax.random.PRNGKey(0)).dtype
+    args = (
+        tfm_abs, vae_abs,
+        abs_((1, 512, 512, 6), jnp.uint8),              # yuv420 frame
+        abs_((1, zh, zw, preset.vae.latent_channels), jnp.float32),  # prev
+        abs_((2,) if key_dtype == jnp.uint32 else (), key_dtype),    # rng
+        abs_((), jnp.float32),                          # noise_strength
+        abs_((1, 256, cfg.joint_dim), jnp.bfloat16),    # txt
+        abs_((1, 256), jnp.bool_),                      # mask
+        abs_((1, 256, cfg.joint_dim), jnp.bfloat16),    # neg txt
+        abs_((1, 256), jnp.bool_),                      # neg mask
+        abs_((), jnp.float32),                          # cfg scale
+    )
+    t0 = time.time()
+    compiled = fn.lower(*args).compile()
+    print(f"fused temporal stream frame (1024², tail {steps // 2} of "
+          f"{steps} steps, batched CFG) compiled in {time.time() - t0:.1f}s")
+    mem = compiled.memory_analysis()
+    if prior_conv_env is None:
+        del os.environ["QIE_PALLAS_CONV"]
+    else:
+        os.environ["QIE_PALLAS_CONV"] = prior_conv_env
+    if mem is not None:
+        total = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                 + mem.output_size_in_bytes)
+        print(f"per-device: args {mem.argument_size_in_bytes / 1e9:.2f} GB "
+              f"+ temps {mem.temp_size_in_bytes / 1e9:.2f} GB = "
+              f"{total / 1e9:.2f} GB "
+              f"({'fits' if total < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
+    print("OK: 20B fused realtime frame graph compiles TP-sharded")
+
+
 def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False,
-         vl: bool = False, use_int8_vl: bool = False):
+         vl: bool = False, use_int8_vl: bool = False,
+         stream: bool = False):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
 
@@ -321,6 +412,8 @@ def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False,
         mesh = meshes.make_mesh(cfg_axis=2, model_axis=n_devices // 2,
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
+    if stream:
+        return lower_stream(mesh, is_tpu)
     if vl and not loop:
         lower_vl(mesh, is_tpu, use_int8_vl=use_int8_vl)
         return
@@ -414,4 +507,5 @@ if __name__ == "__main__":
     main(n_devices=n, loop="--loop" in sys.argv,
          use_int8="--int8" in sys.argv,
          vl="--vl" in sys.argv,
-         use_int8_vl="--int8-vl" in sys.argv)
+         use_int8_vl="--int8-vl" in sys.argv,
+         stream="--stream" in sys.argv)
