@@ -268,6 +268,7 @@ def bench_stream(args):
         keyframe_interval=10,
         # realtime video display is chroma-subsampled anyway: ship 4:2:0
         transfer_format="yuv420",
+        preview_scale=args.preview_scale,
     )
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
     rt.precompute_conditions("Transform into oil painting style")
@@ -294,6 +295,7 @@ def bench_realtime(args):
         vl_image_area=min(384 * 384, args.size * args.size),
         keyframe_interval=10,
         transfer_format="yuv420",
+        preview_scale=args.preview_scale,
     )
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
     rt.precompute_conditions("Transform into oil painting style")
@@ -426,6 +428,10 @@ def main(argv=None):
                     default=int(os.environ.get("QIE_BENCH_SIZE", "512")))
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--preview-scale", type=int, default=1,
+                    help="stream/realtime hybrid resolution: temporal "
+                    "frames run at size/s and upscale host-side; keyframes "
+                    "stay full-res (StreamConfig.preview_scale)")
     args = ap.parse_args(argv)
 
     names = sorted(BENCHES) if args.bench == "all" else [args.bench]

@@ -167,6 +167,18 @@ class StreamConfig:
     # Stateful latent / StreamDiffusion-style temporal consistency
     noise_strength: float = 0.05
     keyframe_interval: int = 20
+    # Hybrid-resolution streaming: temporal (non-keyframe) frames run the
+    # WHOLE pipeline (condition encode + denoise + decode) at
+    # width/preview_scale × height/preview_scale and are upscaled to the
+    # output size host-side; keyframes still run at full resolution. At
+    # 1024² output with preview_scale=2 the temporal frames cost a 512²
+    # frame (~12 fps pipelined) while every keyframe_interval-th frame
+    # re-anchors at full quality — the realtime answer to 1024², where
+    # full-res-every-frame measures ~2 fps. 1 = off. Requires explicit
+    # width/height divisible by 16·preview_scale (else ignored with a
+    # warning; the keyframe→temporal latent handoff is an exact 2×2
+    # average-pool only when the latent grids nest evenly).
+    preview_scale: int = 1
 
     # Camera / stream loop
     camera_id: int = 0

@@ -15,7 +15,14 @@ intermediate latents as future work (qwen_realtime.py:259-261; SURVEY.md
   ``refine_steps`` of the schedule run — fewer transformer calls per frame
   and temporally coherent output;
 - conditioning (current camera frame → VAE tokens; prompt embeds) flows
-  through the same caches as the batch pipeline.
+  through the same caches as the batch pipeline;
+- **hybrid resolution** (``config.preview_scale`` > 1): temporal frames
+  run the whole fused graph at 1/s the linear resolution and upscale
+  host-side, while keyframes re-anchor at full quality — full-res 1024²
+  streaming measures ~2 fps, but 512²-preview temporal frames keep the
+  stream at ~512² rates with periodic 1024² keyframes. The keyframe's
+  final latent average-pools s×s onto the preview grid for the temporal
+  handoff.
 
 Every (keyframe, temporal) variant is its own persistent compiled graph —
 no retraces once warm.
@@ -24,6 +31,7 @@ no retraces once warm.
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -129,9 +137,29 @@ class RealtimePipeline:
         steps = self.config.num_inference_steps
         return max(1, steps // 2)
 
+    def _preview_scale(self) -> int:
+        """Validated hybrid-resolution factor (1 = off). Temporal frames
+        run the whole pipeline at width/s × height/s; keyframes stay full
+        resolution (see StreamConfig.preview_scale). Requires explicit
+        width/height divisible by 16·s so the full-res latent grid pools
+        exactly s×s onto the preview grid and both pack 2×2."""
+        s = int(self.config.preview_scale or 1)
+        if s <= 1:
+            return 1
+        w, h = self.config.width, self.config.height
+        if not w or not h or w % (16 * s) or h % (16 * s):
+            if not getattr(self, "_preview_warned", False):
+                warnings.warn(
+                    f"preview_scale={s} requires explicit width/height "
+                    f"divisible by {16 * s} (got {w}x{h}); running full "
+                    "resolution every frame")
+                self._preview_warned = True
+            return 1
+        return s
+
     def _fused_frame_fn(self, kind: str, hw_in, zh: int, zw: int,
                         cond_shapes, txt_len: int, steps: int, start: int,
-                        use_cfg: bool = False):
+                        use_cfg: bool = False, prev_pool: int = 1):
         """ONE jitted graph per frame: VAE encode → denoise (tail) → decode.
 
         Per-frame Python overhead and device round-trips collapse to a
@@ -141,11 +169,13 @@ class RealtimePipeline:
         kind: "key" (fresh noise, full schedule) | "temporal" (re-noise
         prev latent, tail of schedule). use_cfg adds the batched cond+uncond
         pass (the reference realtime path always runs true CFG,
-        qwen_realtime.py:250-253)."""
+        qwen_realtime.py:250-253). prev_pool > 1 (keyframes under
+        preview_scale) additionally average-pools the returned latent s×s
+        so it hands off onto the preview-resolution temporal grid."""
         p = self.pipe
         fmt = self.config.transfer_format  # both upload and fetch direction
         key = ("stream_fused", kind, hw_in, zh, zw, tuple(cond_shapes),
-               txt_len, steps, start, use_cfg, fmt)
+               txt_len, steps, start, use_cfg, fmt, prev_pool)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
@@ -184,7 +214,15 @@ class RealtimePipeline:
             x0 = make_x0(rng, prev, ns)
             final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
                         cfg_scale)
-            return dec(vae_p, final)
+            pix, z = dec(vae_p, final)
+            if prev_pool > 1:
+                # keyframe→preview handoff: exact s×s average pool onto
+                # the temporal frames' latent grid (grids nest evenly by
+                # the _preview_scale validation)
+                zc = z.shape[-1]
+                z = z.reshape(1, zh // prev_pool, prev_pool,
+                              zw // prev_pool, prev_pool, zc).mean((2, 4))
+            return pix, z
 
         p._jit_cache[key] = fused
         return fused
@@ -233,9 +271,22 @@ class RealtimePipeline:
         between dispatches (JAX async dispatch)."""
         p = self.pipe
         cfgc = self.config
-        out_h, out_w, vae_images, vl_images = p._prepare_images(
-            [frame], cfgc.height, cfgc.width
-        )
+        s = self._preview_scale()
+        preview = s > 1 and not self.is_keyframe
+        if preview:
+            # hybrid-resolution temporal frame: the WHOLE pipeline (cond
+            # encode + denoise + decode) runs at width/s × height/s; the
+            # condition is the live frame at exactly the preview grid
+            # (img2img at the processing resolution — StreamDiffusion's
+            # convention). s² fewer pixels everywhere: upload bytes,
+            # attention tokens, decode, fetch.
+            out_w, out_h = cfgc.width // s, cfgc.height // s
+            vae_images = [np.asarray(imaging.resize(frame, out_w, out_h),
+                                     dtype=np.uint8)]
+        else:
+            out_h, out_w, vae_images, vl_images = p._prepare_images(
+                [frame], cfgc.height, cfgc.width
+            )
         # frozen prompt conditioning (CachedConditions semantics) — no
         # per-frame VL encode; fall back to on-the-fly encoding if the
         # caller never called precompute_conditions
@@ -264,9 +315,13 @@ class RealtimePipeline:
         kind = "key" if self.is_keyframe else "temporal"
         start = 0 if self.is_keyframe else steps - self._refine_steps()
         fn = self._fused_frame_fn(kind, hw_in, zh, zw, cond_shapes,
-                                  txt.shape[1], steps, start, use_cfg)
+                                  txt.shape[1], steps, start, use_cfg,
+                                  prev_pool=s if self.is_keyframe else 1)
         prev = self.prev_latent
-        if prev is None:  # keyframe-only placeholder (unused by "key" path)
+        if self.is_keyframe or prev is None:
+            # the "key" graph ignores prev; pass a fixed-shape placeholder
+            # so the trace signature never depends on what the previous
+            # (possibly preview-resolution) frame left behind
             prev = jnp.zeros((1, zh, zw, p.preset.vae.latent_channels),
                              jnp.float32)
         pixels, latents = fn(
@@ -278,7 +333,17 @@ class RealtimePipeline:
         return pixels
 
     def _collect(self, pixels) -> Image.Image:
-        return self.pipe._fetch_images(pixels)[0]
+        img = self.pipe._fetch_images(pixels)[0]
+        if self._preview_scale() > 1 and img.size != (self.config.width,
+                                                      self.config.height):
+            # preview-resolution temporal frames upscale host-side to the
+            # display size (native C++ Lanczos when built, PIL otherwise)
+            # — keyframe results already arrive full size and pass through
+            from qwen_image_edit_streamdiffusion_tpu.runtime import native_ops
+
+            img = Image.fromarray(native_ops.resize_lanczos(
+                np.asarray(img), self.config.height, self.config.width))
+        return img
 
     def _fused_frame(self, frame: Image.Image, steps: int) -> Image.Image:
         """Single-dispatch frame: encode → denoise → decode in one graph."""

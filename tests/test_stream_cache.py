@@ -199,3 +199,54 @@ def test_stream_with_true_cfg():
     assert np.abs(
         np.asarray(outs[0], np.int16) - np.asarray(o2, np.int16)
     ).max() > 0
+
+
+def test_hybrid_preview_stream():
+    """preview_scale=2 (serving yuv420 format): keyframes run full-res and
+    pool their latent onto the preview grid; temporal frames run the whole
+    fused graph at half linear resolution and upscale host-side."""
+    cfg = StreamConfig(
+        width=64, height=64,
+        vae_image_area=64 * 64, vl_image_area=32 * 32,
+        num_inference_steps=2, keyframe_interval=3,
+        model_preset="tiny", preview_scale=2,
+        transfer_format="yuv420",
+    )
+    rt = RealtimePipeline.create("tiny", config=cfg, seed=0)
+    rt.precompute_conditions("oil painting style")
+    frame = imaging.make_test_image(64, 64, "gradient")
+    out_key = rt.process_frame(frame)  # frame 0: keyframe, full res
+    assert out_key.size == (64, 64)
+    # keyframe latent handed off pooled 2x2 onto the preview grid
+    assert rt.prev_latent.shape == (1, 4, 4, 16)
+    out_tmp = rt.process_frame(frame)  # frame 1: temporal at 32x32
+    assert out_tmp.size == (64, 64)  # upscaled host-side to display size
+    assert rt.prev_latent.shape == (1, 4, 4, 16)
+    rt.process_frame(frame)  # frame 2: temporal
+    out_key2 = rt.process_frame(frame)  # frame 3: keyframe again
+    assert rt.is_keyframe and out_key2.size == (64, 64)
+    for o in (out_key, out_tmp, out_key2):
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+    # pipelined submit/collect works across the key/preview boundary
+    pend = rt.submit_frame(frame)
+    nxt = rt.submit_frame(frame)
+    assert rt._collect(pend).size == (64, 64)
+    assert rt._collect(nxt).size == (64, 64)
+
+
+def test_preview_scale_invalid_size_warns_and_disables():
+    """width/height not divisible by 16*s: warn once, run full-res."""
+    cfg = StreamConfig(
+        width=48, height=48,
+        vae_image_area=48 * 48, vl_image_area=32 * 32,
+        num_inference_steps=2, keyframe_interval=3,
+        model_preset="tiny", preview_scale=2,
+    )
+    rt = RealtimePipeline.create("tiny", config=cfg, seed=0)
+    rt.precompute_conditions("oil painting style")
+    frame = imaging.make_test_image(48, 48, "gradient")
+    with pytest.warns(UserWarning, match="preview_scale"):
+        rt.process_frame(frame)
+    out = rt.process_frame(frame)  # temporal, but full-res (disabled)
+    assert out.size == (48, 48)
+    assert rt.prev_latent.shape == (1, 6, 6, 16)
