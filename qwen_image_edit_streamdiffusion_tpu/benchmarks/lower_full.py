@@ -29,6 +29,12 @@ Flags:
   --int8      quantize transformer block linears first; with --v5e-4 the
               loop fits HALF the chips (10.88 GB/chip on a 2×2 v5e-4).
   --int8-vl   weight-only int8 for the VL encoder (halves its shard).
+  --int4 / --int4-vl  group-wise int4 rung (the reference's NF4 analog,
+              test_quantized.py:46-51): with --chips 2 the COMPLETE
+              product (transformer + VL + VAE) targets a 2-chip v5e slice.
+  --chips N   target an N-chip topology (1, 2, 4, or 8; sub-host slices
+              use explicit chips_per_host_bounds). N<4 has no cfg axis —
+              the loop compiles batched CFG instead of parallel.
   --stream    AOT the realtime pipeline's fused temporal frame graph
               (VAE encode → re-noise → tail denoise → decode, ONE
               dispatch) at 1024² with batched CFG: 12.43 GB/chip on
@@ -59,17 +65,28 @@ from qwen_image_edit_streamdiffusion_tpu.models.common import param_count
 from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
 
+# n_devices → (topology name, chips_per_host_bounds, cfg-axis size).
+# Sub-host slices (1-2 chips) need explicit chip bounds — the default
+# host bounds are 2x2x1 and reject smaller layouts.
+_TOPOLOGIES = {
+    1: ("v5e:1x1", (1, 1, 1), 1),
+    2: ("v5e:1x2", (1, 2, 1), 1),
+    4: ("v5e:2x2", None, 2),
+    8: ("v5e:2x4", None, 2),
+}
+
+
 def _tpu_topology_mesh(n_devices: int):
     """(mesh, True) for a v5e AOT topology, or (None, False) if libtpu
     can't build one here."""
+    name, bounds, cfg = _TOPOLOGIES[n_devices]
     try:
         from jax.experimental import topologies
 
+        kw = {"chips_per_host_bounds": bounds} if bounds else {}
         topo = topologies.get_topology_desc(
-            platform="tpu",
-            topology_name=f"v5e:{2 if n_devices > 2 else 1}x{max(1, n_devices // 2)}",
-        )
-        devs = np.asarray(topo.devices).reshape(2, n_devices // 2)
+            platform="tpu", topology_name=name, **kw)
+        devs = np.asarray(topo.devices).reshape(cfg, n_devices // cfg)
         return Mesh(devs, ("cfg", "model")), True
     except Exception as e:  # no libtpu / unknown topology
         print(f"TPU topology unavailable ({type(e).__name__}); "
@@ -90,7 +107,7 @@ def _per_chip_param_bytes(shapes, specs, mesh) -> int:
     return total
 
 
-def lower_vl(mesh, is_tpu: bool, use_int8_vl: bool = False):
+def lower_vl(mesh, is_tpu: bool, vl_bits: int = 0):
     """AOT-compile the Qwen2.5-VL encoder graphs (vision tower at the 384²
     VL-condition grid + LM decoder at a bucketed L=512 prompt) with the
     megatron VL sharding rules on the same topology, and return the
@@ -108,19 +125,20 @@ def lower_vl(mesh, is_tpu: bool, use_int8_vl: bool = False):
 
     shapes = jax.eval_shape(
         lambda: qwen_vl._init_all(jax.random.PRNGKey(0), vlcfg))
-    if use_int8_vl:
+    n_params = param_count(shapes)  # true count, before nibble-packing
+    if vl_bits:
         from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
             quantize_vl,
         )
 
-        shapes = jax.eval_shape(quantize_vl, shapes)
+        shapes = jax.eval_shape(lambda p: quantize_vl(p, bits=vl_bits),
+                                shapes)
     axes = shd._vl_axes(mesh)
     specs = shd.vl_param_specs(shapes, axes=axes,
                                axis_sizes=dict(mesh.shape))
-    n_params = param_count(shapes)
     pbytes = _per_chip_param_bytes(shapes, specs, mesh)
     print(f"VL encoder: {n_params / 1e9:.2f}B params"
-          f"{' (int8)' if use_int8_vl else ''}, sharded over {axes} "
+          f"{f' (int{vl_bits})' if vl_bits else ''}, sharded over {axes} "
           f"→ {pbytes / 1e9:.2f} GB/chip")
 
     abs_params = jax.tree_util.tree_map(
@@ -220,22 +238,25 @@ def lower_vae(mesh):
     return {"params": pbytes, "temps": temps}
 
 
-def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
+def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0):
     """AOT-compile the ACTUAL serving executable — the full 2-step
-    parallel-CFG denoise `lax.fori_loop` the jitted pipeline runs per
-    request — for the 20B preset on the v5e topology. use_int8 quantizes
-    the block linears (the memory option that fits HALF the chips:
-    v5e-4 instead of v5e-8)."""
+    CFG denoise `lax.fori_loop` the jitted pipeline runs per request —
+    for the 20B preset on the v5e topology. bits=8 quantizes the block
+    linears (the memory option that fits HALF the chips: v5e-4 instead
+    of v5e-8); bits=4 is the group-wise int4 rung (~9/16 the int8 bytes)
+    targeting 2-chip deployment. CFG runs parallel over the `cfg` mesh
+    axis when it exists (≥4 chips), batched otherwise."""
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
         EditPipeline,
     )
 
+    cfg_mode = "parallel" if mesh.shape.get("cfg", 1) > 1 else "batched"
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
-    config = StreamConfig(model_preset=preset.name, cfg_mode="parallel",
+    config = StreamConfig(model_preset=preset.name, cfg_mode=cfg_mode,
                           use_flash_attention=is_tpu, fuse_qkv=False,
-                          use_int8=use_int8)
+                          use_int8=bits == 8)
     # abstract pipeline: _denoise_fn reads only preset/config/mesh; params
     # flow in as (abstract) arguments
     pipe = EditPipeline(preset=preset, config=config, tfm_params=None,
@@ -244,15 +265,16 @@ def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
     img_shapes = ((1, 64, 64), (1, 64, 64))  # 1024² target + 1024² cond
     txt_len = 256
     steps = 2
-    fn = pipe._denoise_fn(1, img_shapes, txt_len, steps, "parallel")
+    fn = pipe._denoise_fn(1, img_shapes, txt_len, steps, cfg_mode)
 
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
-    if use_int8:
+    if bits:
         from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
             quantize_transformer,
         )
 
-        shapes = jax.eval_shape(quantize_transformer, shapes)
+        shapes = jax.eval_shape(
+            lambda p: quantize_transformer(p, bits=bits), shapes)
     specs = sharding.transformer_param_specs(shapes)
     params_abs = jax.tree_util.tree_map(
         lambda s, p: jax.ShapeDtypeStruct(
@@ -276,8 +298,8 @@ def lower_serving_loop(mesh, is_tpu: bool, use_int8: bool = False):
     )
     t0 = time.time()
     lowered = fn.lower(*args)
-    print(f"serving loop ({steps}-step parallel-CFG"
-          f"{', int8' if use_int8 else ''}) lowered in "
+    print(f"serving loop ({steps}-step {cfg_mode}-CFG"
+          f"{f', int{bits}' if bits else ''}) lowered in "
           f"{time.time() - t0:.1f}s")
     t0 = time.time()
     compiled = lowered.compile()
@@ -398,8 +420,8 @@ def lower_stream(mesh, is_tpu: bool):
     print("OK: 20B fused realtime frame graph compiles TP-sharded")
 
 
-def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False,
-         vl: bool = False, use_int8_vl: bool = False,
+def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
+         vl: bool = False, vl_bits: int = 0,
          stream: bool = False):
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
@@ -409,23 +431,25 @@ def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False,
         devs = jax.devices()
         if len(devs) < n_devices:
             devs = jax.devices("cpu")
-        mesh = meshes.make_mesh(cfg_axis=2, model_axis=n_devices // 2,
+        cfg_axis = _TOPOLOGIES[n_devices][2]
+        mesh = meshes.make_mesh(cfg_axis=cfg_axis,
+                                model_axis=n_devices // cfg_axis,
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
     if stream:
         return lower_stream(mesh, is_tpu)
     if vl and not loop:
-        lower_vl(mesh, is_tpu, use_int8_vl=use_int8_vl)
+        lower_vl(mesh, is_tpu, vl_bits=vl_bits)
         return
     if loop:
-        loop_mem = lower_serving_loop(mesh, is_tpu, use_int8=use_int8)
+        loop_mem = lower_serving_loop(mesh, is_tpu, bits=bits)
         if not vl:
             return
         # --loop --vl: the COMPLETE per-chip deployment budget (VERDICT r2
         # missing #1). All three param sets are resident simultaneously;
         # phase temps (VL encode → denoise loop → VAE decode) never
         # coexist, so peak = Σ params + max(phase temps).
-        vl_mem = lower_vl(mesh, is_tpu, use_int8_vl=use_int8_vl)
+        vl_mem = lower_vl(mesh, is_tpu, vl_bits=vl_bits)
         vae_mem = lower_vae(mesh)
         if loop_mem is None:
             print("no memory analysis available on this target")
@@ -503,9 +527,16 @@ def main(n_devices: int = 8, loop: bool = False, use_int8: bool = False,
 if __name__ == "__main__":
     import sys
 
-    n = 4 if "--v5e-4" in sys.argv else 8
+    n = 8
+    if "--v5e-4" in sys.argv:
+        n = 4
+    if "--chips" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--chips") + 1])
+    bits = 8 if "--int8" in sys.argv else (4 if "--int4" in sys.argv else 0)
+    vl_bits = (8 if "--int8-vl" in sys.argv
+               else (4 if "--int4-vl" in sys.argv else 0))
     main(n_devices=n, loop="--loop" in sys.argv,
-         use_int8="--int8" in sys.argv,
+         bits=bits,
          vl="--vl" in sys.argv,
-         use_int8_vl="--int8-vl" in sys.argv,
+         vl_bits=vl_bits,
          stream="--stream" in sys.argv)

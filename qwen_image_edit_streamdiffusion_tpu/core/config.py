@@ -216,6 +216,14 @@ class StreamConfig:
     # lever: 15.5 GB bf16 → ~7.8 GB before TP sharding). Independent of
     # use_int8 (transformer) — quality/memory tradeoffs differ per model.
     use_int8_vl: bool = False
+    # Group-wise int4 (the reference's BitsAndBytes NF4 rung,
+    # test_quantized.py:46-51): ~9/16 the int8 weight bytes. Takes
+    # precedence over the int8 flag for the same component; leaves whose
+    # input dim doesn't divide the group size take the int8 rung.
+    # The deployment target: the COMPLETE 20B product on a 2-chip v5e
+    # slice (benchmarks/lower_full.py --int4 --int4-vl --chips 2).
+    use_int4: bool = False
+    use_int4_vl: bool = False
     fuse_lora: bool = True  # weight-fuse LoRA before jit (vs runtime adapters)
     fuse_qkv: bool = True  # concat q/k/v projections (single-chip only)
 

@@ -34,10 +34,19 @@ NO_MODULATION_QUANTIZE = frozenset(DEFAULT_QUANTIZE - {"img_mod", "txt_mod"})
 def _quantize_leaf_dict(d: dict, bits: int = 8) -> dict:
     if bits == 4:
         from qwen_image_edit_streamdiffusion_tpu.ops.int8 import (
+            INT4_GROUP,
             quantize_weight_int4,
         )
 
-        out = quantize_weight_int4(d["w"])
+        kin = d["w"].shape[0]
+        if kin % INT4_GROUP == 0 and kin % 2 == 0:
+            out = quantize_weight_int4(d["w"])
+        else:
+            # group-wise int4 needs in_dim % group == 0 (e.g. the VL
+            # vision MLP's 3420-dim down projection) — those few leaves
+            # take the int8 rung instead of staying bf16
+            q = quantize_weight(d["w"])
+            out = {"w_q": q.w_q, "scale": q.scale}
     else:
         q = quantize_weight(d["w"])
         out = {"w_q": q.w_q, "scale": q.scale}

@@ -72,14 +72,21 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP):
 
 def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
                     dtype=jnp.bfloat16, group: int = INT4_GROUP) -> jnp.ndarray:
-    """Inverse of quantize_weight_int4 → (in, out) weight in ``dtype``."""
+    """Inverse of quantize_weight_int4 → (in, out) weight in ``dtype``.
+
+    The arithmetic runs directly in ``dtype``: nibble values (±7) are
+    exact in bf16 and the scale cast costs ~0.4% relative — noise next to
+    int4's quantization step — while the materialized dequant temps XLA
+    cannot fuse into the MXU dot are HALF the bytes of an f32
+    intermediate. At 20B scale that is the difference between the 2-chip
+    serving loop fitting and exceeding HBM by 31 MB (lower_full --int4)."""
     half, out = packed.shape
     kin = half * 2
     lo = (packed & 0xF).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
-    q = jnp.stack([lo, hi], axis=1).reshape(kin, out).astype(jnp.float32)
-    w = q.reshape(kin // group, group, out) * scale[:, None, :]
-    return w.reshape(kin, out).astype(dtype)
+    q = jnp.stack([lo, hi], axis=1).reshape(kin, out).astype(dtype)
+    w = q.reshape(kin // group, group, out) * scale[:, None, :].astype(dtype)
+    return w.reshape(kin, out)
 
 
 def int4_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:

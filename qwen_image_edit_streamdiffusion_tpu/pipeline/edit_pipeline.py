@@ -92,19 +92,20 @@ def _default_encoder(preset: Preset, config: StreamConfig, seed: int
 
 def _finalize_encoder(encoder: PromptEncoder, config: StreamConfig, mesh):
     """Apply the deployment levers to a parameterized (VL) encoder:
-    optional weight-only int8 (config.use_int8_vl), then TP sharding over
+    optional weight-only int8/int4 (config.use_int8_vl / use_int4_vl),
+    then TP sharding over
     every mesh axis (VERDICT r2 missing #1 — the 7B encoder must live
     inside the per-chip memory budget, not replicated beside the
     transformer shard). StubEncoder (no ``params``) passes through."""
     params = getattr(encoder, "params", None)
     if params is None:
         return encoder
-    if config.use_int8_vl:
+    if config.use_int4_vl or config.use_int8_vl:
         from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
             quantize_vl,
         )
 
-        params = quantize_vl(params)
+        params = quantize_vl(params, bits=4 if config.use_int4_vl else 8)
     if mesh is not None:
         from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
@@ -162,12 +163,13 @@ class EditPipeline:
             from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
 
             tfm_params = fuse_qkv(tfm_params)
-        if config.use_int8:
+        if config.use_int4 or config.use_int8:
             from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
                 quantize_transformer,
             )
 
-            tfm_params = quantize_transformer(tfm_params)
+            tfm_params = quantize_transformer(
+                tfm_params, bits=4 if config.use_int4 else 8)
         if mesh is not None:
             from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
@@ -289,12 +291,13 @@ class EditPipeline:
             from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
 
             tfm_params = fuse_qkv(tfm_params)
-        if config.use_int8:
+        if config.use_int4 or config.use_int8:
             from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
                 quantize_transformer,
             )
 
-            tfm_params = quantize_transformer(tfm_params)
+            tfm_params = quantize_transformer(
+                tfm_params, bits=4 if config.use_int4 else 8)
         if mesh is not None:
             from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 

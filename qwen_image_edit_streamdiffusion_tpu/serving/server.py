@@ -210,6 +210,17 @@ def main(argv=None):
     ap.add_argument("--vae", default=os.environ.get("QIE_CKPT_VAE"))
     ap.add_argument("--vl", default=os.environ.get("QIE_CKPT_VL"))
     ap.add_argument("--lora", default=os.environ.get("QIE_CKPT_LORA"))
+    # Deployment memory levers (benchmarks/lower_full.py budgets): int8
+    # fits the 20B serving loop on a v5e-4, int4 (the NF4 rung) targets a
+    # 2-chip slice. Same flag names as lower_full.
+    ap.add_argument("--int8", action="store_true",
+                    default=os.environ.get("QIE_INT8", "") == "1")
+    ap.add_argument("--int8-vl", action="store_true",
+                    default=os.environ.get("QIE_INT8_VL", "") == "1")
+    ap.add_argument("--int4", action="store_true",
+                    default=os.environ.get("QIE_INT4", "") == "1")
+    ap.add_argument("--int4-vl", action="store_true",
+                    default=os.environ.get("QIE_INT4_VL", "") == "1")
     args = ap.parse_args(argv)
 
     # Honor JAX_PLATFORMS even where a sitecustomize pre-registered an
@@ -232,6 +243,8 @@ def main(argv=None):
         # /edit delivers JPEG q=90 (4:2:0) — ship 4:2:0 planes over the
         # device→host link, half the transfer at identical wire fidelity
         transfer_format=os.environ.get("QIE_TRANSFER", "yuv420"),
+        use_int8=args.int8, use_int8_vl=args.int8_vl,
+        use_int4=args.int4, use_int4_vl=args.int4_vl,
     )
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 

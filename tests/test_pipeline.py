@@ -141,3 +141,34 @@ def test_multi_condition_images(pipe, test_img):
     assert np.abs(
         np.asarray(single.images[0], np.int16) - arr.astype(np.int16)
     ).max() > 0
+
+
+def test_int4_pipeline_end_to_end(test_img):
+    """use_int4 / use_int4_vl (the reference's NF4 rung as a product
+    option): block linears carry packed int4 leaves, the VL encoder is
+    quantized too, and a full edit runs finite."""
+    cfg = TINY_STREAM.replace(use_int4=True, use_int4_vl=True)
+    p = EditPipeline.create("tiny", config=cfg, seed=0)
+    blk = p.tfm_params["blocks"][0]
+    leaf = blk["attn"]["img_qkv"] if "img_qkv" in blk["attn"] else \
+        blk["attn"]["img_q"]
+    assert "w_q4" in leaf or "w_q" in leaf  # int4, or int8 fallback rung
+    vl_params = getattr(p.encoder, "params", None)
+    if vl_params is not None:  # native VL encoder in path
+        q = vl_params["lm"]["blocks"][0]["q_proj"]
+        assert "w_q4" in q or "w_q" in q
+    out = p(test_img, "add a red hat", num_inference_steps=2, seed=1)
+    arr = np.asarray(out.images[0], np.float32)
+    assert arr.shape == (64, 64, 3) and np.isfinite(arr).all()
+
+
+def test_int4_fallback_to_int8_on_odd_dims():
+    """in_dim not divisible by the int4 group size takes the int8 rung
+    instead of staying dense (e.g. the VL vision MLP's 3420-dim down)."""
+    import jax
+
+    from qwen_image_edit_streamdiffusion_tpu.models import quantize
+
+    w = {"down": {"w": jax.random.normal(jax.random.PRNGKey(0), (60, 32))}}
+    q = quantize.quantize_vl(w, bits=4)
+    assert "w_q" in q["down"] and "w_q4" not in q["down"]
