@@ -31,7 +31,11 @@ Flags:
   --int8-vl   weight-only int8 for the VL encoder (halves its shard).
   --int4 / --int4-vl  group-wise int4 rung (the reference's NF4 analog,
               test_quantized.py:46-51): with --chips 2 the COMPLETE
-              product (transformer + VL + VAE) targets a 2-chip v5e slice.
+              product (transformer + VL + VAE) FITS a 2-chip v5e slice
+              at 13.21 GB/chip (loop 5.80 args + 4.73 temps, VL 2.60,
+              VAE 0.07). Requires the optimization_barrier in
+              int4_linear — without it XLA prefetches every block's
+              dequantized bf16 weight (11 GB of coexisting temps).
   --chips N   target an N-chip topology (1, 2, 4, or 8; sub-host slices
               use explicit chips_per_host_bounds). N<4 has no cfg axis —
               the loop compiles batched CFG instead of parallel.

@@ -92,8 +92,15 @@ def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
 def int4_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Weight-only int4 matmul: dequant (fused by XLA into the consumer)
     then bf16 MXU GEMM. Saves HBM *capacity* (the fit-the-model goal of the
-    reference's NF4 path), not bandwidth."""
-    w = dequantize_int4(p["w_q4"], p["scale4"], dtype=x.dtype)
+    reference's NF4 path), not bandwidth.
+
+    The optimization barrier ties each layer's dequant to its activation:
+    without it XLA's latency-hiding scheduler prefetches every layer's
+    dequantized bf16 weight ahead of time, so all ~60 blocks' weight temps
+    coexist (11 GB/chip at 20B — the 2-chip loop EXCEEDS HBM); sequenced,
+    buffer assignment reuses one dequant temp per live layer."""
+    packed, x = jax.lax.optimization_barrier((p["w_q4"], x))
+    w = dequantize_int4(packed, p["scale4"], dtype=x.dtype)
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if p.get("b") is not None and "b" in p:
         y = y + p["b"].astype(y.dtype)
