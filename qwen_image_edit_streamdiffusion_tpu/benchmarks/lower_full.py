@@ -38,7 +38,13 @@ Flags:
               dequantized bf16 weight (11 GB of coexisting temps).
   --chips N   target an N-chip topology (1, 2, 4, or 8; sub-host slices
               use explicit chips_per_host_bounds). N<4 has no cfg axis —
-              the loop compiles batched CFG instead of parallel.
+              the loop compiles batched CFG instead of parallel. Without
+              --loop/--vl the bare 1024² model call is AOT-checked, and
+              quantization flags apply to it too: `--int4 --chips 1`
+              proves the 20B int4 model call fits ONE v5e chip at
+              12.81 GB (11.52 weights + 1.29 temps) — the single-chip
+              floor; full serving still needs ≥2 chips for VL + loop
+              temps.
   --stream    AOT the realtime pipeline's fused temporal frame graph
               (VAE encode → re-noise → tail denoise → decode, ONE
               dispatch) at 1024² with batched CFG: 12.43 GB/chip on
@@ -478,6 +484,13 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
 
     t0 = time.time()
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    if bits:
+        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+            quantize_transformer,
+        )
+
+        shapes = jax.eval_shape(
+            lambda p: quantize_transformer(p, bits=bits), shapes)
     specs = sharding.transformer_param_specs(shapes)
     params_abs = jax.tree_util.tree_map(
         lambda s, p: jax.ShapeDtypeStruct(
