@@ -423,9 +423,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("bench", choices=sorted(BENCHES) + ["all"])
     ap.add_argument("--preset",
-                    default=os.environ.get("QIE_BENCH_PRESET", "bench-2b"))
+                    default=os.environ.get(
+                        "QIE_BENCH_PRESET",
+                        os.environ.get("QIE_PRESET", "bench-2b")))
     ap.add_argument("--size", type=int,
-                    default=int(os.environ.get("QIE_BENCH_SIZE", "512")))
+                    default=int(os.environ.get(
+                        "QIE_BENCH_SIZE",
+                        os.environ.get("QIE_SIZE", "512"))))
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--preview-scale", type=int, default=1,
