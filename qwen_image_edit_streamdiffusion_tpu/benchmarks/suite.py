@@ -222,6 +222,19 @@ def bench_batched_cfg(args):
           "is kernel-launch overhead, which a single fused XLA graph "
           "already eliminates; on TPU both modes are compute-bound and "
           "equivalent)")
+    # Residual CFG (StreamDiffusion §3.2, the system the reference is
+    # inspired by): rcfg pays steps+1 forwards, rcfg-self pays steps.
+    for mode in ("rcfg", "rcfg-self"):
+        p = _mk_pipe(args, cfg_mode=mode)
+        p.tfm_params = seq.tfm_params
+        p.vae_params = seq.vae_params
+        t = _timed(_edit_fn(p, img, args.steps, negative_prompt=" ",
+                            true_cfg_scale=4.0), args.runs,
+                   label=f"{mode} CFG")
+        print(f"  {mode} speedup vs sequential: "
+              f"{np.mean(t_seq) / np.mean(t):.2f}× "
+              f"(theoretical {2 * args.steps}/"
+              f"{args.steps + (1 if mode == 'rcfg' else 0)} forwards)")
 
 
 def bench_cfg_quality(args):

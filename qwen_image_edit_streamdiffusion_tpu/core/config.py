@@ -162,6 +162,20 @@ class StreamConfig:
     #   "parallel"   — 2-way shard over the mesh `cfg` axis
     #                  (the reference's documented parallel_cfg_* family)
     #   "sequential" — two transformer passes per step (stock diffusers path)
+    #   "rcfg"       — onetime-negative Residual CFG (StreamDiffusion §3.2,
+    #                  the system the reference is "inspired by",
+    #                  README.md:186-191): the uncond branch runs only on
+    #                  the FIRST step; later steps reuse its residual
+    #                  (v_pos − v_neg) against the fresh cond prediction.
+    #                  steps+1 forwards instead of 2·steps — 2-step CFG
+    #                  pays 3 forwards (≈1.5× fast mode, not 2×).
+    #   "rcfg-self"  — self-negative Residual CFG: NO uncond forwards.
+    #                  The virtual negative velocity points at
+    #                  reconstructing the (unedited) first condition
+    #                  image: v_neg = (x_t − z_cond)/σ_t — CFG-strength
+    #                  edits at cond-only price. Needs the first condition
+    #                  latent grid to match the target grid (degrades to
+    #                  "rcfg" with a warning otherwise).
     cfg_mode: str = "batched"
 
     # Stateful latent / StreamDiffusion-style temporal consistency

@@ -454,7 +454,31 @@ class EditPipeline:
         start_step > 0 runs only the tail of the schedule — the stream
         pipeline's partial re-denoise of a cached temporal latent
         (reference's intended prepare_latent semantics,
-        qwen_realtime.py:201-224)."""
+        qwen_realtime.py:201-224).
+
+        cfg_mode "rcfg" / "rcfg-self" are StreamDiffusion's Residual CFG
+        (the system the reference is inspired by, README.md:186-191):
+        "rcfg" computes the uncond branch only on the first executed step
+        (peeled out of the fori_loop as one batched pair) and reuses its
+        residual v_pos−v_neg afterwards — steps+1 forwards instead of
+        2·steps. "rcfg-self" never runs an uncond forward: the virtual
+        negative velocity points at reconstructing the first condition
+        image, v_neg = (x_t − z_cond)/σ_t (flow-matching translation of
+        the paper's virtual residual noise), so guidance pushes away from
+        the unedited input at cond-only cost. Requires the first condition
+        grid to equal the target grid (checked at bucket build; degrades
+        to "rcfg" with a warning)."""
+        if cfg_mode == "rcfg-self" and (
+            len(img_shapes) < 2 or img_shapes[1] != img_shapes[0]
+        ):
+            import warnings
+
+            warnings.warn(
+                "rcfg-self needs the first condition latent grid "
+                f"{img_shapes[1:2]} to match the target grid "
+                f"{img_shapes[0]} for the virtual-negative anchor; "
+                "using onetime-negative rcfg instead")
+            cfg_mode = "rcfg"
         key = ("denoise", batch, img_shapes, txt_len, num_steps, cfg_mode,
                start_step)
         if key in self._jit_cache:
@@ -503,6 +527,58 @@ class EditPipeline:
                  cfg_scale):
             sigmas = schedule.sigmas
             timesteps = schedule.timesteps
+
+            if cfg_mode in ("rcfg", "rcfg-self"):
+
+                def pos_call(i, x):
+                    t = jnp.full((x.shape[0],), timesteps[i], jnp.float32)
+                    return model_call(params, x, cond_tokens, t, txt, mask)
+
+                if cfg_mode == "rcfg":
+                    # Peeled first step: ONE batched cond+uncond pair
+                    # (identical math to the "batched" body), freezing the
+                    # negative residual for the remaining steps.
+                    i0 = start_step
+                    x = x0
+                    pair = lambda a, b: jnp.concatenate([a, b], axis=0)
+                    t2 = jnp.full((2 * x.shape[0],), timesteps[i0],
+                                  jnp.float32)
+                    v2 = model_call(params, pair(x, x),
+                                    pair(cond_tokens, cond_tokens), t2,
+                                    pair(txt, neg_txt),
+                                    pair(mask, neg_mask))
+                    pos, neg = jnp.split(v2, 2, axis=0)
+                    delta = pos.astype(jnp.float32) - neg.astype(jnp.float32)
+                    v = combine_cfg(pos, neg, cfg_scale)
+                    x = sched.euler_step(x, v, sigmas[i0], sigmas[i0 + 1])
+
+                    def body(i, carry):
+                        x, delta = carry
+                        pos = pos_call(i, x)
+                        neg = (pos.astype(jnp.float32) - delta).astype(
+                            pos.dtype)
+                        v = combine_cfg(pos, neg, cfg_scale)
+                        return (sched.euler_step(x, v, sigmas[i],
+                                                 sigmas[i + 1]), delta)
+
+                    x, _ = jax.lax.fori_loop(i0 + 1, num_steps, body,
+                                             (x, delta))
+                    return x
+
+                # rcfg-self: the anchor is the first condition image's
+                # packed latents — same grid, same pack order, same latent
+                # normalization as x (both flow through tfm.pack_latents).
+                anchor = cond_tokens[:, :l_target].astype(jnp.float32)
+
+                def body(i, x):
+                    pos = pos_call(i, x)
+                    sig = jnp.maximum(sigmas[i], 1e-3)
+                    neg = ((x.astype(jnp.float32) - anchor) / sig).astype(
+                        pos.dtype)
+                    v = combine_cfg(pos, neg, cfg_scale)
+                    return sched.euler_step(x, v, sigmas[i], sigmas[i + 1])
+
+                return jax.lax.fori_loop(start_step, num_steps, body, x0)
 
             if cfg_mode in ("batched", "parallel"):
                 cond2 = _constrain_cfg_batch(

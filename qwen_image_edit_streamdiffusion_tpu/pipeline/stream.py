@@ -182,8 +182,19 @@ class RealtimePipeline:
         enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb")
         dec = p._vae_decode_fn((zh, zw))
         img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
-        run = p._denoise_fn(1, img_shapes, txt_len, steps,
-                            "batched" if use_cfg else "none",
+        # CFG inside the fused graph is batched (a parallel-CFG bucket
+        # would mismatch the fused single-dispatch shape), EXCEPT the
+        # Residual-CFG modes, which pass through: "rcfg-self" is the
+        # natural stream fit — the condition image IS the current frame,
+        # so the virtual negative anchors on reproducing it unedited
+        # (StreamDiffusion's self-negative RCFG) at cond-only cost.
+        if use_cfg:
+            mode = (p.config.cfg_mode
+                    if p.config.cfg_mode in ("rcfg", "rcfg-self")
+                    else "batched")
+        else:
+            mode = "none"
+        run = p._denoise_fn(1, img_shapes, txt_len, steps, mode,
                             start_step=start)
         schedule = sched.make_schedule(steps, (zh // 2) * (zw // 2),
                                        p.preset.scheduler)

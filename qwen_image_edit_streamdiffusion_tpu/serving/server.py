@@ -198,6 +198,16 @@ def main(argv=None):
     # edit (VERDICT r2 next #7).
     ap.add_argument("--input-size", type=int,
                     default=int(os.environ.get("QIE_INPUT_SIZE", "512")))
+    ap.add_argument("--cfg-mode",
+                    choices=["none", "batched", "parallel", "sequential",
+                             "rcfg", "rcfg-self"],
+                    default=os.environ.get("QIE_CFG_MODE", "batched"),
+                    help="how use_cfg=true requests run the negative "
+                         "branch: batched/parallel/sequential pay 2 "
+                         "forwards per step; rcfg (onetime-negative "
+                         "Residual CFG) pays steps+1; rcfg-self pays "
+                         "cond-only price (virtual negative = the "
+                         "unedited input)")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--no-warmup-cfg", action="store_true",
                     help="skip compiling the use_cfg bucket at startup "
@@ -243,6 +253,7 @@ def main(argv=None):
         # /edit delivers JPEG q=90 (4:2:0) — ship 4:2:0 planes over the
         # device→host link, half the transfer at identical wire fidelity
         transfer_format=os.environ.get("QIE_TRANSFER", "yuv420"),
+        cfg_mode=args.cfg_mode,
         use_int8=args.int8, use_int8_vl=args.int8_vl,
         use_int4=args.int4, use_int4_vl=args.int4_vl,
     )

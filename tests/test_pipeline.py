@@ -162,6 +162,77 @@ def test_int4_pipeline_end_to_end(test_img):
     assert arr.shape == (64, 64, 3) and np.isfinite(arr).all()
 
 
+def test_rcfg_one_step_matches_batched(test_img):
+    """Residual CFG's peeled first step IS the batched-CFG body
+    (StreamDiffusion §3.2 onetime-negative); at 1 step the two modes are
+    the same math end-to-end."""
+    a = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="batched"), seed=0
+    )
+    b = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="rcfg"), seed=0
+    )
+    ra = a(test_img, "stylize", negative_prompt="blurry",
+           num_inference_steps=1, seed=42)
+    rb = b(test_img, "stylize", negative_prompt="blurry",
+           num_inference_steps=1, seed=42)
+    np.testing.assert_allclose(
+        np.asarray(ra.latents, np.float32),
+        np.asarray(rb.latents, np.float32),
+        atol=1e-3, rtol=1e-2,
+    )
+
+
+def test_rcfg_guides_at_one_extra_forward(test_img):
+    """2-step rcfg: 3 model forwards instead of 4, still guided (output
+    differs from cond-only, stays finite)."""
+    p = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="rcfg"), seed=0
+    )
+    plain = p(test_img, "stylize", seed=42)
+    guided = p(test_img, "stylize", negative_prompt="blurry",
+               true_cfg_scale=4.0, seed=42)
+    arr = np.asarray(guided.images[0], np.float32)
+    assert np.isfinite(arr).all()
+    assert np.abs(
+        arr.astype(np.int16) - np.asarray(plain.images[0], np.int16)
+    ).max() > 0
+    # the compiled bucket is the rcfg graph, not a 2x-forward CFG graph
+    assert any(k[0] == "denoise" and k[5] == "rcfg" for k in p._jit_cache)
+
+
+def test_rcfg_self_no_negative_forwards(test_img):
+    """Self-negative Residual CFG: the virtual negative anchors on the
+    unedited condition latents — guidance at cond-only forward count."""
+    p = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="rcfg-self"), seed=0
+    )
+    plain = p(test_img, "stylize", seed=42)
+    guided = p(test_img, "stylize", negative_prompt="blurry",
+               true_cfg_scale=4.0, seed=42)
+    arr = np.asarray(guided.images[0], np.float32)
+    assert np.isfinite(arr).all()
+    assert np.abs(
+        arr.astype(np.int16) - np.asarray(plain.images[0], np.int16)
+    ).max() > 0
+    assert any(
+        k[0] == "denoise" and k[5] == "rcfg-self" for k in p._jit_cache
+    )
+
+
+def test_rcfg_self_grid_mismatch_degrades_to_rcfg(test_img):
+    """rcfg-self needs the first condition grid == target grid; a mismatch
+    warns and falls back to onetime-negative rcfg."""
+    p = EditPipeline.create(
+        "tiny", config=TINY_STREAM.replace(cfg_mode="rcfg-self"), seed=0
+    )
+    with pytest.warns(UserWarning, match="rcfg-self"):
+        res = p(test_img, "stylize", negative_prompt="blurry",
+                true_cfg_scale=4.0, seed=42, width=32, height=32)
+    assert np.isfinite(np.asarray(res.images[0], np.float32)).all()
+    assert any(k[0] == "denoise" and k[5] == "rcfg" for k in p._jit_cache)
+
+
 def test_int4_fallback_to_int8_on_odd_dims():
     """in_dim not divisible by the int4 group size takes the int8 rung
     instead of staying dense (e.g. the VL vision MLP's 3420-dim down)."""

@@ -201,6 +201,31 @@ def test_stream_with_true_cfg():
     ).max() > 0
 
 
+def test_stream_rcfg_self_fused_graph():
+    """cfg_mode="rcfg-self" rides the fused stream graph: the condition
+    image IS the current frame (same grid), so the virtual negative
+    anchors on reproducing it unedited — CFG-strength streaming at
+    cond-only forward count (StreamDiffusion's self-negative RCFG)."""
+    cfg = TINY_STREAM.replace(cfg_mode="rcfg-self")
+    p = RealtimePipeline.create("tiny", config=cfg, seed=0)
+    p.precompute_conditions("oil painting", negative_prompt="blurry")
+    frame = imaging.make_test_image(64, 64, "gradient")
+    outs = [p.process_frame(frame) for _ in range(4)]  # key + temporal
+    for o in outs:
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+    # the fused buckets compiled the rcfg-self graph (keyframe AND
+    # temporal start_step>0), never a 2x-forward batched-CFG one
+    modes = {k[5] for k in p.pipe._jit_cache if k[0] == "denoise"}
+    assert "rcfg-self" in modes and "batched" not in modes
+    # guidance is live: differs from the cond-only stream
+    q = RealtimePipeline.create("tiny", config=TINY_STREAM, seed=0)
+    q.precompute_conditions("oil painting")
+    o2 = q.process_frame(frame)
+    assert np.abs(
+        np.asarray(outs[0], np.int16) - np.asarray(o2, np.int16)
+    ).max() > 0
+
+
 def test_hybrid_preview_stream():
     """preview_scale=2 (serving yuv420 format): keyframes run full-res and
     pool their latent onto the preview grid; temporal frames run the whole
