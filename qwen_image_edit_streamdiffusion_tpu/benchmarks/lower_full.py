@@ -433,6 +433,9 @@ def lower_stream(mesh, is_tpu: bool):
 def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          vl: bool = False, vl_bits: int = 0,
          stream: bool = False):
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    compile_cache.honor_platform_env()
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
 

@@ -282,12 +282,21 @@ def bench_stream(args):
         # realtime video display is chroma-subsampled anyway: ship 4:2:0
         transfer_format="yuv420",
         preview_scale=args.preview_scale,
+        cfg_mode=args.cfg_mode,
     )
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
-    rt.precompute_conditions("Transform into oil painting style")
+    # --guided streams with a negative prompt: rcfg-self keeps the frame
+    # at cond-only forward count (virtual negative = the unedited frame);
+    # batched pays 2x forwards per step
+    rt.precompute_conditions(
+        "Transform into oil painting style",
+        **({"negative_prompt": "blurry, low quality"} if args.guided else {}),
+    )
     rt.warmup(runs=2)
     fps_seq = rt.run_benchmark(num_frames=args.runs * 4, pipelined=False)
     fps_pipe = rt.run_benchmark(num_frames=args.runs * 4, pipelined=True)
+    if args.guided:
+        print(f"  guided stream ({args.cfg_mode}):")
     print(f"  stream fps: {fps_seq:.2f} sequential, {fps_pipe:.2f} pipelined "
           "(reference achieved ~0.4 fps 1-step on A100; aspirational "
           "target 10-20, qwen_realtime.py:15)")
@@ -356,6 +365,7 @@ def bench_serve(args):
         width=args.size, height=args.size,
         num_inference_steps=args.steps, model_preset=args.preset,
         transfer_format="yuv420",
+        cfg_mode=args.cfg_mode,
     )
     engine = InferenceEngine.create(args.preset, config=config, seed=0,
                                     warmup_runs=1)
@@ -403,7 +413,9 @@ def bench_serve(args):
             # ceil-index quantile; with n=10 this is the 2nd-worst sample,
             # not the max
             p90 = ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]
-            print(f"  /edit {mode:<4} p50 {p50:.3f}s  p90 {p90:.3f}s  "
+            tag = (f"cfg[{args.cfg_mode}]" if mode == "cfg"
+                   and args.cfg_mode != "batched" else mode)
+            print(f"  /edit {tag:<4} p50 {p50:.3f}s  p90 {p90:.3f}s  "
                   f"max {ts[-1]:.3f}s  first {first:.3f}s  "
                   f"(n={len(ts)}, distinct prompts → cache-miss path)")
     finally:
@@ -432,6 +444,7 @@ BENCHES = {
 def main(argv=None):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
+    # also honors JAX_PLATFORMS (sitecustomize-proof; see compile_cache)
     compile_cache.enable()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("bench", choices=sorted(BENCHES) + ["all"])
@@ -449,6 +462,17 @@ def main(argv=None):
                     help="stream/realtime hybrid resolution: temporal "
                     "frames run at size/s and upscale host-side; keyframes "
                     "stay full-res (StreamConfig.preview_scale)")
+    ap.add_argument("--cfg-mode",
+                    choices=["none", "batched", "parallel", "sequential",
+                             "rcfg", "rcfg-self"],
+                    default=os.environ.get("QIE_CFG_MODE", "batched"),
+                    help="CFG execution mode for serve (use_cfg requests) "
+                    "and stream --guided: rcfg = onetime-negative Residual "
+                    "CFG (steps+1 forwards), rcfg-self = virtual negative "
+                    "at cond-only cost")
+    ap.add_argument("--guided", action="store_true",
+                    help="stream benches run with a negative prompt so "
+                    "every frame is CFG-guided (pair with --cfg-mode)")
     args = ap.parse_args(argv)
 
     names = sorted(BENCHES) if args.bench == "all" else [args.bench]

@@ -12,7 +12,24 @@ from __future__ import annotations
 import os
 
 
+def honor_platform_env() -> None:
+    """Honor JAX_PLATFORMS even where a sitecustomize pre-registered an
+    ambient accelerator plugin via jax.config (env vars alone don't
+    override a config default; tests/conftest.py documents the same
+    recipe). Without this, JAX_PLATFORMS=cpu runs hang trying to
+    initialize the ambient TPU backend when its tunnel is unreachable."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; leave it be
+
+
 def enable(default_dir: str = "~/.cache/qie_xla") -> str | None:
+    honor_platform_env()
     env = os.environ.get("QIE_COMPILE_CACHE", "")
     if env == "0":
         return None
