@@ -243,8 +243,9 @@ class RealtimePipeline:
 
         Every frame — keyframe or temporal, with or without a negative
         prompt — runs the single-dispatch fused graph; CFG (when a negative
-        prompt is set) is the batched cond+uncond variant *inside* that
-        graph, never a separate pipeline path.
+        prompt is set) runs *inside* that graph, never as a separate
+        pipeline path: batched cond+uncond by default, or the Residual-CFG
+        variants when cfg_mode is "rcfg"/"rcfg-self" (see _fused_frame_fn).
         """
         t0 = time.time()
         cfgc = self.config

@@ -139,6 +139,47 @@ def test_denoise_cfg_modes_match_single_device(tiny_preset, cfg_mode):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("cfg_mode", ["rcfg", "rcfg-self"])
+def test_rcfg_modes_match_single_device_under_tp(tiny_preset, cfg_mode):
+    """Residual CFG is approximate vs sequential CFG by design (frozen /
+    virtual negative), so the mesh invariant is: TP-sharded rcfg equals
+    single-device rcfg exactly — the decomposition must not change the
+    math."""
+    import dataclasses
+
+    from qwen_image_edit_streamdiffusion_tpu.core import imaging
+    from qwen_image_edit_streamdiffusion_tpu.core.config import (
+        StreamConfig,
+        get_preset,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    tiny_f32 = dataclasses.replace(
+        get_preset("tiny"),
+        model=dataclasses.replace(get_preset("tiny").model, dtype="float32"),
+    )
+
+    def run(mesh):
+        cfg = StreamConfig(
+            width=64, height=64, vae_image_area=64 * 64,
+            vl_image_area=56 * 56, num_inference_steps=2, cfg_mode=cfg_mode,
+            model_preset="tiny", use_vl_encoder=False, dtype="float32",
+            mesh_cfg_axis=2 if mesh else 1, mesh_model_axis=4 if mesh else 1,
+        )
+        pipe = EditPipeline.create(tiny_f32, config=cfg, seed=0, mesh=mesh)
+        img = imaging.make_test_image(64, 64, "circle")
+        return np.asarray(
+            pipe(img, "stylize", negative_prompt="bad",
+                 true_cfg_scale=4.0).latents, np.float32
+        )
+
+    ref = run(None)
+    got = run(meshes.make_mesh(cfg_axis=2, model_axis=4))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_sharded_orbax_load_into_tp_layout(tiny, tmp_path):
     """Checkpoint → NamedSharding restore path (each host/device reads its
     own shards) must give a distributed tree whose forward matches the
