@@ -238,7 +238,10 @@ def bench_batched_cfg(args):
 
 
 def bench_cfg_quality(args):
-    """Side-by-side CFG comparison images (reference compare_cfg_quality.py)."""
+    """Side-by-side CFG comparison images (reference compare_cfg_quality.py),
+    including the Residual-CFG approximations: how close do rcfg (steps+1
+    forwards) and rcfg-self (cond-only forwards) land to full batched CFG
+    (2x forwards)?"""
     pipe = _mk_pipe(args, cfg_mode="batched")
     img = imaging.make_test_image(args.size, args.size, "circle")
     no_cfg = pipe(img, "oil painting", num_inference_steps=args.steps, seed=42)
@@ -246,11 +249,19 @@ def bench_cfg_quality(args):
                true_cfg_scale=4.0, num_inference_steps=args.steps, seed=42)
     no_cfg.images[0].save("cfg_off.png")
     cfg.images[0].save("cfg_on.png")
-    d = np.abs(
-        np.asarray(no_cfg.images[0], np.float32)
-        - np.asarray(cfg.images[0], np.float32)
-    ).mean()
+    full = np.asarray(cfg.images[0], np.float32)
+    d = np.abs(np.asarray(no_cfg.images[0], np.float32) - full).mean()
     print(f"  saved cfg_off.png / cfg_on.png; mean pixel delta {d:.2f}")
+    for mode in ("rcfg", "rcfg-self"):
+        p = _mk_pipe(args, cfg_mode=mode)
+        p.tfm_params = pipe.tfm_params
+        p.vae_params = pipe.vae_params
+        r = p(img, "oil painting", negative_prompt="blurry, low quality",
+              true_cfg_scale=4.0, num_inference_steps=args.steps, seed=42)
+        r.images[0].save(f"cfg_{mode}.png")
+        dv = np.abs(np.asarray(r.images[0], np.float32) - full).mean()
+        print(f"  saved cfg_{mode}.png; mean pixel delta vs full CFG {dv:.2f}"
+              f" (vs {d:.2f} for no-CFG — closer = better approximation)")
 
 
 def bench_cache(args):
