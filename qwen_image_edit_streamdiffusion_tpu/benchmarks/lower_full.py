@@ -45,6 +45,12 @@ Flags:
               12.81 GB (11.52 weights + 1.29 temps) — the single-chip
               floor; full serving still needs ≥2 chips for VL + loop
               temps.
+  --cfg-mode M  override the loop's CFG execution mode. Measured on the
+              int4 2-chip slice: "rcfg-self" compiles to 13.18 GB/chip
+              (loop temps 4.70 — within noise of batched CFG's 13.21:
+              at int4 the loop temps are dequant-sequencing temps, not
+              the cond+uncond pair), so Residual CFG buys forward count
+              (speed), not memory.
   --stream    AOT the realtime pipeline's fused temporal frame graph
               (VAE encode → re-noise → tail denoise → decode, ONE
               dispatch) at 1024² with batched CFG: 12.43 GB/chip on
@@ -248,20 +254,25 @@ def lower_vae(mesh):
     return {"params": pbytes, "temps": temps}
 
 
-def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0):
+def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
+                       cfg_mode: str | None = None):
     """AOT-compile the ACTUAL serving executable — the full 2-step
     CFG denoise `lax.fori_loop` the jitted pipeline runs per request —
     for the 20B preset on the v5e topology. bits=8 quantizes the block
     linears (the memory option that fits HALF the chips: v5e-4 instead
     of v5e-8); bits=4 is the group-wise int4 rung (~9/16 the int8 bytes)
     targeting 2-chip deployment. CFG runs parallel over the `cfg` mesh
-    axis when it exists (≥4 chips), batched otherwise."""
+    axis when it exists (≥4 chips), batched otherwise; pass cfg_mode to
+    override (e.g. "rcfg-self" — Residual CFG at cond-only forward
+    count; measured 13.18 vs 13.21 GB/chip on the int4 2-chip slice, so
+    it buys speed, not memory)."""
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
         EditPipeline,
     )
 
-    cfg_mode = "parallel" if mesh.shape.get("cfg", 1) > 1 else "batched"
+    if cfg_mode is None:
+        cfg_mode = "parallel" if mesh.shape.get("cfg", 1) > 1 else "batched"
     preset = get_preset("qwen-image-edit-2509")
     cfg = preset.model
     config = StreamConfig(model_preset=preset.name, cfg_mode=cfg_mode,
@@ -432,7 +443,7 @@ def lower_stream(mesh, is_tpu: bool):
 
 def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          vl: bool = False, vl_bits: int = 0,
-         stream: bool = False):
+         stream: bool = False, cfg_mode: str | None = None):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
     compile_cache.honor_platform_env()
@@ -455,7 +466,8 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
         lower_vl(mesh, is_tpu, vl_bits=vl_bits)
         return
     if loop:
-        loop_mem = lower_serving_loop(mesh, is_tpu, bits=bits)
+        loop_mem = lower_serving_loop(mesh, is_tpu, bits=bits,
+                                      cfg_mode=cfg_mode)
         if not vl:
             return
         # --loop --vl: the COMPLETE per-chip deployment budget (VERDICT r2
@@ -555,8 +567,11 @@ if __name__ == "__main__":
     bits = 8 if "--int8" in sys.argv else (4 if "--int4" in sys.argv else 0)
     vl_bits = (8 if "--int8-vl" in sys.argv
                else (4 if "--int4-vl" in sys.argv else 0))
+    cfg_mode = (sys.argv[sys.argv.index("--cfg-mode") + 1]
+                if "--cfg-mode" in sys.argv else None)
     main(n_devices=n, loop="--loop" in sys.argv,
          bits=bits,
          vl="--vl" in sys.argv,
          vl_bits=vl_bits,
-         stream="--stream" in sys.argv)
+         stream="--stream" in sys.argv,
+         cfg_mode=cfg_mode)
