@@ -67,6 +67,26 @@ def _mk_pipe(args, **cfg_kw) -> EditPipeline:
     return EditPipeline.create(args.preset, config=config, seed=0)
 
 
+def _sibling(pipe: EditPipeline, **cfg_kw) -> EditPipeline:
+    """A pipeline sharing params/encoder with `pipe` under a different
+    config — comparing CFG modes must not re-initialize a full device
+    param set per mode (at bench scale each init is ~4 GB of HBM and
+    ~40 s through a tunneled link; several live sets would OOM the chip)."""
+    import dataclasses
+
+    return EditPipeline(
+        preset=pipe.preset,
+        config=dataclasses.replace(pipe.config, **cfg_kw),
+        tfm_params=pipe.tfm_params, vae_params=pipe.vae_params,
+        encoder=pipe.encoder, mesh=pipe.mesh,
+        prompt_cache=pipe.prompt_cache, latent_cache=pipe.latent_cache,
+        # share compiled graphs too: bucket keys carry cfg_mode, so only
+        # the denoise graph differs per mode — VAE encode/decode buckets
+        # (minutes each through a tunneled link) compile once
+        _jit_cache=pipe._jit_cache,
+    )
+
+
 def _edit_fn(pipe, img, steps, **kw):
     def run():
         return pipe(img, "Transform into oil painting style",
@@ -212,9 +232,7 @@ def bench_batched_cfg(args):
     seq = _mk_pipe(args, cfg_mode="sequential")
     t_seq = _timed(_edit_fn(seq, img, args.steps, negative_prompt=" ",
                             true_cfg_scale=4.0), args.runs, label="sequential CFG")
-    bat = _mk_pipe(args, cfg_mode="batched")
-    bat.tfm_params = seq.tfm_params
-    bat.vae_params = seq.vae_params
+    bat = _sibling(seq, cfg_mode="batched")
     t_bat = _timed(_edit_fn(bat, img, args.steps, negative_prompt=" ",
                             true_cfg_scale=4.0), args.runs, label="batched CFG")
     print(f"  batched speedup: {np.mean(t_seq) / np.mean(t_bat):.2f}× "
@@ -225,9 +243,7 @@ def bench_batched_cfg(args):
     # Residual CFG (StreamDiffusion §3.2, the system the reference is
     # inspired by): rcfg pays steps+1 forwards, rcfg-self pays steps.
     for mode in ("rcfg", "rcfg-self"):
-        p = _mk_pipe(args, cfg_mode=mode)
-        p.tfm_params = seq.tfm_params
-        p.vae_params = seq.vae_params
+        p = _sibling(seq, cfg_mode=mode)
         t = _timed(_edit_fn(p, img, args.steps, negative_prompt=" ",
                             true_cfg_scale=4.0), args.runs,
                    label=f"{mode} CFG")
@@ -253,9 +269,7 @@ def bench_cfg_quality(args):
     d = np.abs(np.asarray(no_cfg.images[0], np.float32) - full).mean()
     print(f"  saved cfg_off.png / cfg_on.png; mean pixel delta {d:.2f}")
     for mode in ("rcfg", "rcfg-self"):
-        p = _mk_pipe(args, cfg_mode=mode)
-        p.tfm_params = pipe.tfm_params
-        p.vae_params = pipe.vae_params
+        p = _sibling(pipe, cfg_mode=mode)
         r = p(img, "oil painting", negative_prompt="blurry, low quality",
               true_cfg_scale=4.0, num_inference_steps=args.steps, seed=42)
         r.images[0].save(f"cfg_{mode}.png")
