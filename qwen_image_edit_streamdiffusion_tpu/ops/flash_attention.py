@@ -18,6 +18,7 @@ reference path, verified bit-close in tests via interpret mode.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -39,7 +40,8 @@ DEFAULT_BLOCK_K = 512
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
-                  num_heads, n_masked_lo, n_unmasked_hi):
+                  num_heads, n_masked_lo, n_unmasked_hi,
+                  score_dtype=jnp.float32):
     """One (batch·head, q-block) program: online softmax over k blocks.
 
     q_ref: (1, bq, D); k_ref/v_ref: (1, Lk, D); o_ref: (1, bq, D);
@@ -50,6 +52,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
 
     The softmax is VPU-bound, so per-element work is pruned statically:
     - both dots run bf16-in/f32-accumulate on the MXU (no f32 upcasts);
+    - score_dtype=bfloat16 (QIE_FLASH_BF16_SCORES=1) additionally asks the
+      MXU for bf16 scores and runs the online max/sub in bf16 — halving
+      vreg traffic through the remaining f32 stages of the VPU chain
+      (interpret-mode max-err 4.6e-3 vs 2.9e-3 for f32 scores, inside the
+      bf16 output resolution); the row-sum l and rescale alpha stay f32;
     - masking applies only to k-blocks that can contain invalid keys —
       [0, n_masked_lo) (the bucketed text prefix; image keys are always
       valid) and [n_unmasked_hi, nk) (block-size padding) — the bulk of
@@ -73,8 +80,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (bq, bk) f32
+                preferred_element_type=score_dtype,
+            )  # (bq, bk) score_dtype
             if masked:
                 # int8 sublane loads can't use a dynamic row index (Mosaic
                 # needs a provable multiple-of-4); load all B rows and
@@ -88,7 +95,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
                               mask_all.astype(jnp.int32), 0),
                     axis=0,
                 )  # (bk,)
-                s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
+                s = jnp.where(mask_blk[None, :] != 0, s,
+                              jnp.asarray(_NEG_INF, score_dtype))
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             # exp2 at the VALUE precision (p multiplies bf16 V anyway, and
@@ -96,7 +104,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
             # this halves the vregs through the transcendental + sum —
             # the kernel's VPU bottleneck. f32 inputs keep exact math.
             p = jnp.exp2((s - m_new).astype(v_blk.dtype))  # (bq, bk)
-            alpha = jnp.exp2(m - m_new)  # (bq, 1)
+            alpha = jnp.exp2((m - m_new).astype(jnp.float32))  # (bq, 1)
             l_new = l * alpha + jnp.sum(
                 p, axis=-1, keepdims=True, dtype=jnp.float32
             )
@@ -111,7 +119,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
 
     carry = (
         jnp.zeros((bq, d), jnp.float32),
-        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, score_dtype),
         jnp.zeros((bq, 1), jnp.float32),
     )
     carry = jax.lax.fori_loop(0, n_masked_lo, make_body(True), carry)
@@ -337,10 +345,16 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+# resident-kernel score precision default: f32 (exact) unless opted into
+# bf16 scores, which halve the remaining f32 VPU traffic (max/sub) per
+# score element — read once at import so jit caching stays coherent
+_BF16_SCORES = os.environ.get("QIE_FLASH_BF16_SCORES", "") == "1"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "mask_len", "stream",
-                     "causal"),
+                     "causal", "bf16_scores"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -353,6 +367,7 @@ def flash_attention(
     mask_len: Optional[int] = None,
     stream: Optional[bool] = None,
     causal: bool = False,
+    bf16_scores: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q: (B, H, Lq, D); k,v: (B, Hkv, Lk, D) with H % Hkv == 0 (GQA — the
     kernel maps each q head onto its shared kv head via the BlockSpec index
@@ -368,7 +383,10 @@ def flash_attention(
     mask; requires Lq == Lk and that any key padding is a *suffix* — a
     padded key col ≥ n_real is then causally masked for every real row, so
     kv_mask must be None). block_q/block_k: None = per-variant measured
-    defaults (512/512 resident, 512/1024 streaming).
+    defaults (512/512 resident, 512/1024 streaming). bf16_scores: resident
+    kernel only — bf16 QK^T scores + bf16 online max/sub (None = the
+    QIE_FLASH_BF16_SCORES env default; ~1.6e-3 extra max-err, inside bf16
+    output resolution).
     Returns (B, H, Lq, D) in q's dtype.
     """
     b, h, lq, d = q.shape
@@ -443,10 +461,14 @@ def flash_attention(
     n_unmasked_hi = nk - 1 if lk_p > lk else nk
 
     if resident:
+        use_bf16 = _BF16_SCORES if bf16_scores is None else bf16_scores
+        score_dtype = (jnp.bfloat16 if use_bf16 and q.dtype == jnp.bfloat16
+                       else jnp.float32)
         out = pl.pallas_call(
             functools.partial(_flash_kernel, scale=scale, block_k=bk,
                               num_heads=h, n_masked_lo=n_masked_lo,
-                              n_unmasked_hi=n_unmasked_hi),
+                              n_unmasked_hi=n_unmasked_hi,
+                              score_dtype=score_dtype),
             out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
             grid=(b * h, lq_p // bq),
             in_specs=[

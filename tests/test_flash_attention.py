@@ -56,6 +56,31 @@ def test_bf16_inputs():
     )
 
 
+def test_bf16_scores_matches_reference():
+    """bf16 score-domain variant (QIE_FLASH_BF16_SCORES): bf16 QK^T +
+    bf16 online max/sub must stay within bf16 output resolution of the
+    f32 reference, including under a key mask."""
+    b, h, lq, lk, d = 2, 2, 128, 256, 128
+    q, k, v = _qkv(b, h, lq, lk, d, dtype=jnp.bfloat16, seed=3)
+    mask = jnp.asarray(np.random.default_rng(1).random((b, lk)) > 0.3)
+    ref = reference_attention(q, k, v, kv_mask=mask)
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                          block_q=128, block_k=128, bf16_scores=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    # f32 scores on bf16 inputs agree with the bf16-score variant closely
+    # (the opt-in changes precision, not semantics)
+    base = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                           block_q=128, block_k=128, bf16_scores=False)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(base, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
 def test_supported_gate():
     q, k, v = _qkv(1, 1, 128, 128, 128)
     assert supported(q, k, v)
