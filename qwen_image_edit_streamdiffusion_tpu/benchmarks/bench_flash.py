@@ -72,6 +72,9 @@ def main(argv=None):
                     help="bucketed text prefix that carries the kv mask")
     ap.add_argument("--stream", action="store_true",
                     help="sweep the HBM-streaming kernel instead")
+    ap.add_argument("--bf16-scores", action="store_true",
+                    help="resident kernel with bf16 score domain "
+                    "(QIE_FLASH_BF16_SCORES candidate)")
     args = ap.parse_args(argv)
 
     shape = (args.b, args.heads, args.l, args.d)
@@ -95,6 +98,7 @@ def main(argv=None):
             fn = functools.partial(
                 fa.flash_attention, kv_mask=mask, block_q=bq, block_k=bk,
                 mask_len=args.mask_len, stream=args.stream or None,
+                bf16_scores=args.bf16_scores or None,
             )
             try:
                 ms = _time_fn(fn, q, k, v, args.iters)
