@@ -113,7 +113,10 @@ def main():
     yuv = []
     for i in range(runs):
         t0 = time.time()
-        pipe(distinct_image(1000 + i), prompt,
+        # fresh indices: 1000/1001 were consumed by warmup/settle above and
+        # the latent cache keys on image content — reusing them would time
+        # cache-assisted runs as "cache-miss"
+        pipe(distinct_image(3000 + i), prompt,
              num_inference_steps=steps, seed=42)
         yuv.append(time.time() - t0)
         print(f"# yuv420 run {i + 1}/{runs}: {yuv[-1]:.3f}s",

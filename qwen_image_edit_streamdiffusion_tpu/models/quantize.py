@@ -55,11 +55,10 @@ def _quantize_leaf_dict(d: dict, bits: int = 8) -> dict:
     return out
 
 
-def quantize_transformer(
-    params: Any, include: FrozenSet[str] = DEFAULT_QUANTIZE, bits: int = 8
-) -> Any:
-    """Return a new transformer param tree with int8 (default) or int4
-    block linears (bits=4 ≈ the reference's NF4 rung, test_quantized.py:46-51)."""
+def _quantize_tree(params: Any, include: FrozenSet[str], bits: int) -> Any:
+    """Walk a param tree, swapping every 2-D linear leaf-dict whose key is
+    in `include` for its quantized form (shared by the transformer and VL
+    entry points so container/dispatch fixes stay in one place)."""
 
     def walk(node, name=""):
         if isinstance(node, dict):
@@ -71,6 +70,15 @@ def quantize_transformer(
             return t(walk(v, name) for v in node)
         return node
 
+    return walk(params)
+
+
+def quantize_transformer(
+    params: Any, include: FrozenSet[str] = DEFAULT_QUANTIZE, bits: int = 8
+) -> Any:
+    """Return a new transformer param tree with int8 (default) or int4
+    block linears (bits=4 ≈ the reference's NF4 rung, test_quantized.py:46-51)."""
+    walk = lambda node: _quantize_tree(node, include, bits)
     return {
         "img_in": params["img_in"],
         "txt_norm": params["txt_norm"],
@@ -100,18 +108,7 @@ def quantize_vl(
     ({"vision": ..., "lm": ...}); ``common.linear`` dispatches on the leaf
     keys so the forward code is untouched, and the swap composes with the
     TP sharding rules (w_q/scale leaf specs)."""
-
-    def walk(node, name=""):
-        if isinstance(node, dict):
-            if "w" in node and name in include and node["w"].ndim == 2:
-                return _quantize_leaf_dict(node, bits)
-            return {k: walk(v, k) for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            t = type(node)
-            return t(walk(v, name) for v in node)
-        return node
-
-    return walk(params)
+    return _quantize_tree(params, include, bits)
 
 
 def quantized_bytes(params: Any) -> int:

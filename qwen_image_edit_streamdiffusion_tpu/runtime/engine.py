@@ -26,6 +26,12 @@ class EngineBusy(Exception):
     """Another request holds the accelerator (HTTP 429)."""
 
 
+class InvalidRequest(ValueError):
+    """A request field failed validation (HTTP 422). Distinct from bare
+    ValueError so decode errors deep in the pipeline keep the reference's
+    wrapped-500 contract (server.py:226-227)."""
+
+
 class ModelNotLoaded(Exception):
     """Pipeline not constructed yet (HTTP 503)."""
 
@@ -140,8 +146,16 @@ class InferenceEngine:
             extra_images = []
             ref_b64 = request.get("ref_image")
             if ref_b64:
+                ref_mode = request.get("ref_mode", "blend")
+                if ref_mode not in ("blend", "condition"):
+                    # loud 422, not a silent fall-through to blend: a typo
+                    # like "conditon" would otherwise produce a different
+                    # edit with HTTP 200
+                    raise InvalidRequest(
+                        f"ref_mode must be 'blend' or 'condition', "
+                        f"got {ref_mode!r}")
                 ref = imaging.base64_to_pil(ref_b64)
-                if request.get("ref_mode", "blend") == "condition":
+                if ref_mode == "condition":
                     extra_images = [imaging.resize(ref, s, s)]
                 else:
                     img = imaging.blend(

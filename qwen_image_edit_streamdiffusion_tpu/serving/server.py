@@ -29,6 +29,7 @@ from typing import Any, Dict, Optional
 from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
     EngineBusy,
     InferenceEngine,
+    InvalidRequest,
     ModelNotLoaded,
 )
 
@@ -116,6 +117,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(503, {"detail": str(e)})
         except EngineBusy as e:
             self._send(429, {"detail": str(e)})
+        except InvalidRequest as e:  # request-field validation (ref_mode)
+            self._send(422, {"detail": str(e)})
         except Exception as e:  # parity: wrapped 500 (server.py:226-227)
             self._send(500, {"detail": str(e)})
 
@@ -177,6 +180,8 @@ def create_fastapi_app(engine: InferenceEngine):
             raise HTTPException(status_code=503, detail=str(e))
         except EngineBusy as e:
             raise HTTPException(status_code=429, detail=str(e))
+        except InvalidRequest as e:
+            raise HTTPException(status_code=422, detail=str(e))
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
 
@@ -235,12 +240,10 @@ def main(argv=None):
 
     # Honor JAX_PLATFORMS even where a sitecustomize pre-registered an
     # ambient accelerator plugin via jax.config (env vars alone don't
-    # override a config default; tests/conftest.py has the same recipe).
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
+    # override a config default).
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
-        jax.config.update("jax_platforms", plat)
+    compile_cache.honor_platform_env()
 
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
 

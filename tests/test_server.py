@@ -118,6 +118,18 @@ def test_bad_base64_500(server_url):
     assert "detail" in body
 
 
+def test_unknown_ref_mode_422(server_url):
+    """A typo'd ref_mode must fail loudly, not silently fall back to
+    blend (a different edit with HTTP 200)."""
+    url, _ = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    code, body = _post(url + "/edit",
+                       {"image": img, "ref_image": img,
+                        "ref_mode": "conditon"})
+    assert code == 422
+    assert "ref_mode" in body["detail"]
+
+
 def test_busy_429(server_url):
     url, engine = server_url
     img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
