@@ -194,6 +194,19 @@ class StreamConfig:
     # average-pool only when the latent grids nest evenly).
     preview_scale: int = 1
 
+    # Stochastic Similarity Filter (StreamDiffusion §3.3, the other
+    # headline technique of the system the reference is "inspired by",
+    # README.md:186-191): when the incoming camera frame is nearly
+    # identical to the last PROCESSED one (static scene), skip inference
+    # with probability (sim − τ)/(1 − τ) and re-serve the previous output.
+    # Device work drops in proportion to how static the feed is; the
+    # probabilistic floor plus similarity_max_skip guarantee the output
+    # still refreshes (camera noise, slow drift). Off by default —
+    # benchmarks must measure real inference, not skips.
+    similarity_filter: bool = False
+    similarity_threshold: float = 0.98  # τ on mean-centered cosine, 32×32 gray
+    similarity_max_skip: int = 10  # force a real frame after N skips
+
     # Camera / stream loop
     camera_id: int = 0
     target_fps: int = 15

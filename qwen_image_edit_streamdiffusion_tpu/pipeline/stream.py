@@ -16,6 +16,11 @@ intermediate latents as future work (qwen_realtime.py:259-261; SURVEY.md
   and temporally coherent output;
 - conditioning (current camera frame → VAE tokens; prompt embeds) flows
   through the same caches as the batch pipeline;
+- **similarity filter** (``config.similarity_filter``): StreamDiffusion
+  §3.3's Stochastic Similarity Filter — near-identical consecutive frames
+  (static webcam scene) skip inference probabilistically and re-serve the
+  last output, bounded by ``similarity_max_skip`` so the stream never
+  freezes;
 - **hybrid resolution** (``config.preview_scale`` > 1): temporal frames
   run the whole fused graph at 1/s the linear resolution and upscale
   host-side, while keyframes re-anchor at full quality — full-res 1024²
@@ -67,6 +72,12 @@ class RealtimePipeline:
     _frozen_mask: Optional[jnp.ndarray] = None
     _frozen_neg_txt: Optional[jnp.ndarray] = None
     _frozen_neg_mask: Optional[jnp.ndarray] = None
+    # Stochastic Similarity Filter state (StreamDiffusion §3.3)
+    skipped_frames: int = 0
+    _ssf_sig: Optional[np.ndarray] = None  # last processed frame signature
+    _ssf_out: Optional[Image.Image] = None  # last delivered output
+    _ssf_streak: int = 0  # consecutive skips (bounded by similarity_max_skip)
+    _ssf_rng: Optional[np.random.Generator] = None
 
     # ------------------------------------------------------------------
 
@@ -250,6 +261,12 @@ class RealtimePipeline:
         t0 = time.time()
         cfgc = self.config
         steps = cfgc.num_inference_steps
+        if self._ssf_should_skip(frame):
+            # static scene: re-serve the previous output at zero device
+            # cost (Stochastic Similarity Filter; keyframe cadence counts
+            # PROCESSED frames, so skips don't consume keyframe slots)
+            self.skipped_frames += 1
+            return self._ssf_out
         self.is_keyframe = (
             self.frame_count % cfgc.keyframe_interval == 0
             or self.prev_latent is None
@@ -258,6 +275,8 @@ class RealtimePipeline:
         out = self._fused_frame(frame, steps)
         self.frame_count += 1
         self.inference_times.append(time.time() - t0)
+        if cfgc.similarity_filter:
+            self._ssf_out = out
         return out
 
     def submit_frame(self, frame: Image.Image):
@@ -362,6 +381,47 @@ class RealtimePipeline:
         return self._collect(self._submit_fused(frame, steps))
 
     # ------------------------------------------------------------------
+    # Stochastic Similarity Filter (StreamDiffusion §3.3)
+    # ------------------------------------------------------------------
+
+    def _ssf_should_skip(self, frame: Image.Image) -> bool:
+        """True when this frame should reuse the previous output instead
+        of running inference: the mean-centered cosine similarity of a
+        32×32 grayscale signature vs the last *processed* frame exceeds
+        similarity_threshold, a Bernoulli((sim−τ)/(1−τ)) draw fires, and
+        fewer than similarity_max_skip frames were skipped in a row. The
+        probabilistic skip (vs a hard gate) is the paper's point: under a
+        static-but-noisy camera the stream keeps refreshing occasionally
+        instead of freezing, while device work drops with how static the
+        scene is."""
+        cfg = self.config
+        if not cfg.similarity_filter:
+            return False
+        sig = np.asarray(
+            frame.convert("L").resize((32, 32), Image.BILINEAR), np.float32
+        ).ravel()
+        sig = sig - sig.mean()
+        prev = self._ssf_sig
+        if prev is None or self._ssf_out is None:
+            self._ssf_sig = sig
+            return False
+        denom = float(np.linalg.norm(sig) * np.linalg.norm(prev)) + 1e-8
+        sim = float(np.dot(sig, prev)) / denom
+        tau = min(cfg.similarity_threshold, 1.0 - 1e-6)
+        prob = max(0.0, (sim - tau) / (1.0 - tau))
+        if self._ssf_rng is None:
+            self._ssf_rng = np.random.default_rng(cfg.seed)
+        skip = (prob > 0.0
+                and self._ssf_streak < cfg.similarity_max_skip
+                and float(self._ssf_rng.random()) < prob)
+        if skip:
+            self._ssf_streak += 1
+        else:
+            self._ssf_sig = sig
+            self._ssf_streak = 0
+        return skip
+
+    # ------------------------------------------------------------------
 
     def warmup(self, runs: int = 3, size: Optional[int] = None) -> None:
         """Compile both keyframe and temporal graphs (reference
@@ -370,22 +430,31 @@ class RealtimePipeline:
         h = self.config.height or size or 512
         img = imaging.make_test_image(w, h, "gray")
         for _ in range(max(2, runs)):
+            # identical warmup frames must not be similarity-skipped — the
+            # temporal graph would never compile
+            self._ssf_sig = self._ssf_out = None
             self.process_frame(img)
         self.frame_count = 0
         self.prev_latent = None
         self.inference_times.clear()
+        self.skipped_frames = 0
+        self._ssf_sig = self._ssf_out = None
+        self._ssf_streak = 0
 
     def get_stats(self) -> Dict:
         """Rolling 30-frame stats (reference qwen_realtime.py:289-302)."""
         if not self.inference_times:
             return {}
         avg = float(np.mean(self.inference_times[-30:]))
-        return {
+        stats = {
             "avg_inference_time": avg,
             "fps": (1.0 / avg) if avg > 0 else 0.0,
             "frame_count": self.frame_count,
             "keyframe": self.is_keyframe,
         }
+        if self.config.similarity_filter:
+            stats["skipped_frames"] = self.skipped_frames
+        return stats
 
     # ------------------------------------------------------------------
 

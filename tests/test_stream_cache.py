@@ -226,6 +226,43 @@ def test_stream_rcfg_self_fused_graph():
     ).max() > 0
 
 
+def test_similarity_filter_skips_static_frames():
+    """StreamDiffusion §3.3 SSF: a static scene re-serves the previous
+    output without inference; a scene change always processes."""
+    cfg = TINY_STREAM.replace(similarity_filter=True,
+                              similarity_threshold=0.98,
+                              similarity_max_skip=3)
+    p = RealtimePipeline.create("tiny", config=cfg, seed=0)
+    p.precompute_conditions("oil painting")
+    static = imaging.make_test_image(64, 64, "gradient")
+    outs = [p.process_frame(static) for _ in range(6)]
+    # identical frames → cosine 1.0 → skip probability 1.0, bounded by
+    # max_skip; at least one skip fired and the stream never froze past
+    # the bound
+    assert p.skipped_frames >= 1
+    assert p.frame_count >= 2  # max_skip forces real frames through
+    assert p.frame_count + p.skipped_frames == 6
+    assert p.get_stats()["skipped_frames"] == p.skipped_frames
+    for o in outs:
+        assert o is not None and np.isfinite(np.asarray(o, np.float32)).all()
+    # scene change: signature diverges → must process, not skip
+    before = p.frame_count
+    changed = imaging.make_test_image(64, 64, "circle")
+    p.process_frame(changed)
+    assert p.frame_count == before + 1
+
+
+def test_similarity_filter_off_never_skips(rt):
+    """Default config: the filter is off, every frame runs inference
+    (benchmarks measure real work)."""
+    static = imaging.make_test_image(64, 64, "gradient")
+    before = rt.frame_count
+    for _ in range(3):
+        rt.process_frame(static)
+    assert rt.frame_count == before + 3
+    assert rt.skipped_frames == 0
+
+
 def test_hybrid_preview_stream():
     """preview_scale=2 (serving yuv420 format): keyframes run full-res and
     pool their latent onto the preview grid; temporal frames run the whole
