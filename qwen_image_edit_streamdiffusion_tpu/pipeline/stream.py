@@ -75,7 +75,8 @@ class RealtimePipeline:
     # Stochastic Similarity Filter state (StreamDiffusion §3.3)
     skipped_frames: int = 0
     _ssf_sig: Optional[np.ndarray] = None  # last processed frame signature
-    _ssf_out: Optional[Image.Image] = None  # last delivered output
+    _ssf_out: Optional[Image.Image] = None  # last output (sequential path)
+    _ssf_pixels: Optional[jnp.ndarray] = None  # last handle (pipelined path)
     _ssf_streak: int = 0  # consecutive skips (bounded by similarity_max_skip)
     _ssf_rng: Optional[np.random.Generator] = None
 
@@ -261,7 +262,7 @@ class RealtimePipeline:
         t0 = time.time()
         cfgc = self.config
         steps = cfgc.num_inference_steps
-        if self._ssf_should_skip(frame):
+        if self._ssf_should_skip(frame, self._ssf_out is not None):
             # static scene: re-serve the previous output at zero device
             # cost (Stochastic Similarity Filter; keyframe cadence counts
             # PROCESSED frames, so skips don't consume keyframe slots)
@@ -286,12 +287,20 @@ class RealtimePipeline:
         preps + dispatches frame N+1 — throughput ≈ 1/compute instead of
         1/(compute + dispatch + host), at one frame of extra latency."""
         cfgc = self.config
+        if self._ssf_should_skip(frame, self._ssf_pixels is not None):
+            # similarity skip in the pipelined path: hand back the last
+            # dispatched pixels handle — _collect re-fetches it for free
+            # (the host copy is cached after the first fetch)
+            self.skipped_frames += 1
+            return self._ssf_pixels
         self.is_keyframe = (
             self.frame_count % cfgc.keyframe_interval == 0
             or self.prev_latent is None
         )
         pixels = self._submit_fused(frame, cfgc.num_inference_steps)
         self.frame_count += 1
+        if cfgc.similarity_filter:
+            self._ssf_pixels = pixels
         return pixels
 
     def _submit_fused(self, frame: Image.Image, steps: int):
@@ -384,7 +393,8 @@ class RealtimePipeline:
     # Stochastic Similarity Filter (StreamDiffusion §3.3)
     # ------------------------------------------------------------------
 
-    def _ssf_should_skip(self, frame: Image.Image) -> bool:
+    def _ssf_should_skip(self, frame: Image.Image,
+                         have_output: bool = True) -> bool:
         """True when this frame should reuse the previous output instead
         of running inference: the mean-centered cosine similarity of a
         32×32 grayscale signature vs the last *processed* frame exceeds
@@ -402,7 +412,7 @@ class RealtimePipeline:
         ).ravel()
         sig = sig - sig.mean()
         prev = self._ssf_sig
-        if prev is None or self._ssf_out is None:
+        if prev is None or not have_output:
             self._ssf_sig = sig
             return False
         denom = float(np.linalg.norm(sig) * np.linalg.norm(prev)) + 1e-8
@@ -438,7 +448,7 @@ class RealtimePipeline:
         self.prev_latent = None
         self.inference_times.clear()
         self.skipped_frames = 0
-        self._ssf_sig = self._ssf_out = None
+        self._ssf_sig = self._ssf_out = self._ssf_pixels = None
         self._ssf_streak = 0
 
     def get_stats(self) -> Dict:

@@ -252,6 +252,24 @@ def test_similarity_filter_skips_static_frames():
     assert p.frame_count == before + 1
 
 
+def test_similarity_filter_pipelined_path():
+    """submit_frame (pipelined camera loop) also skips static frames,
+    re-serving the last dispatched pixels handle."""
+    cfg = TINY_STREAM.replace(similarity_filter=True,
+                              similarity_max_skip=3)
+    p = RealtimePipeline.create("tiny", config=cfg, seed=0)
+    p.precompute_conditions("oil painting")
+    static = imaging.make_test_image(64, 64, "gradient")
+    handles = [p.submit_frame(static) for _ in range(5)]
+    assert p.skipped_frames >= 1
+    assert p.frame_count + p.skipped_frames == 5
+    # skipped submissions return the SAME handle; collecting works for all
+    assert any(h1 is h2 for h1, h2 in zip(handles, handles[1:]))
+    outs = [p._collect(h) for h in handles]
+    for o in outs:
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
 def test_similarity_filter_off_never_skips(rt):
     """Default config: the filter is off, every frame runs inference
     (benchmarks measure real work)."""
