@@ -308,6 +308,7 @@ def bench_stream(args):
         transfer_format="yuv420",
         preview_scale=args.preview_scale,
         cfg_mode=args.cfg_mode,
+        similarity_filter=args.ssf,
     )
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
     # --guided streams with a negative prompt: rcfg-self keeps the frame
@@ -343,13 +344,16 @@ def bench_realtime(args):
         keyframe_interval=10,
         transfer_format="yuv420",
         preview_scale=args.preview_scale,
+        similarity_filter=args.ssf,
     )
     rt = RealtimePipeline.create(args.preset, config=config, seed=0)
     rt.precompute_conditions("Transform into oil painting style")
     rt.run_camera_loop(max_frames=max(3, args.runs))
     stats = rt.get_stats()
     print(f"  realtime loop: {stats.get('fps', 0):.2f} fps over "
-          f"{stats.get('frame_count', 0)} frames")
+          f"{stats.get('frame_count', 0)} frames"
+          + (f" ({stats.get('skipped_frames', 0)} similarity-skipped)"
+             if args.ssf else ""))
 
 
 def bench_multicond(args):
@@ -498,6 +502,10 @@ def main(argv=None):
     ap.add_argument("--guided", action="store_true",
                     help="stream benches run with a negative prompt so "
                     "every frame is CFG-guided (pair with --cfg-mode)")
+    ap.add_argument("--ssf", action="store_true",
+                    help="stream/realtime: enable the Stochastic "
+                    "Similarity Filter (static frames skip inference; "
+                    "StreamDiffusion §3.3)")
     args = ap.parse_args(argv)
 
     names = sorted(BENCHES) if args.bench == "all" else [args.bench]
