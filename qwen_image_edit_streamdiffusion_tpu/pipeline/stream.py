@@ -31,6 +31,17 @@ intermediate latents as future work (qwen_realtime.py:259-261; SURVEY.md
 
 Every (keyframe, temporal) variant is its own persistent compiled graph —
 no retraces once warm.
+
+Not implemented, by design: StreamDiffusion §3.1's Stream Batch (batch
+step-k of frame N with step-k+1 of frame N−1 into one model call so each
+frame-time costs one call). On GPU that raises utilization because small
+batches underfill the SMs; on TPU the 1024²-scale model call is already
+MXU-compute-bound at batch 1 (CLAUDE.md roofline: GEMMs ≈89% of bf16
+peak), so a batch-2 call costs ~2× a batch-1 call and the technique buys
+nothing — and the temporal path above already runs ONE model call per
+frame at the default 2-step config (refine_steps = steps//2 = 1), which
+is the same per-frame cost Stream Batch would converge to, without the
+extra frame of latency per denoise step.
 """
 
 from __future__ import annotations
