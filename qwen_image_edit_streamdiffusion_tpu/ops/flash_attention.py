@@ -133,7 +133,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k):
+def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k,
+                         score_dtype=jnp.float32):
     """One (batch·q-head, q-block) program: causal online softmax.
 
     Built for the Qwen2.5-VL language model (VERDICT r2 next #2): decoder
@@ -166,8 +167,8 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k):
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (bq, bk) f32
+                preferred_element_type=score_dtype,
+            )  # (bq, bk) score_dtype
             if diag:
                 rows = q0 + jax.lax.broadcasted_iota(
                     jnp.int32, (bq, block_k), 0
@@ -175,11 +176,12 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k):
                 cols = j * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (bq, block_k), 1
                 )
-                s = jnp.where(cols <= rows, s, _NEG_INF)
+                s = jnp.where(cols <= rows, s,
+                              jnp.asarray(_NEG_INF, score_dtype))
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2((s - m_new).astype(v_blk.dtype))
-            alpha = jnp.exp2(m - m_new)
+            alpha = jnp.exp2((m - m_new).astype(jnp.float32))
             l_new = l * alpha + jnp.sum(
                 p, axis=-1, keepdims=True, dtype=jnp.float32
             )
@@ -199,7 +201,7 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k):
     n_causal = jnp.minimum((q0 + bq + block_k - 1) // block_k, nk)
     carry = (
         jnp.zeros((bq, d), jnp.float32),
-        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, score_dtype),
         jnp.zeros((bq, 1), jnp.float32),
     )
     carry = jax.lax.fori_loop(0, n_full, make_body(False), carry)
@@ -256,7 +258,8 @@ def _kv_dma(kv_hbm, kv_v, sem, bh, j, slot, which, block_k):
 
 def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
                       kv_v, sem, *, block_k, num_heads, kv_heads,
-                      n_masked_lo, n_unmasked_hi):
+                      n_masked_lo, n_unmasked_hi,
+                      score_dtype=jnp.float32):
     """q_ref/o_ref: (1, bq, D) VMEM; k_hbm/v_hbm: (B·Hkv, Lk, D) in HBM;
     kv_v: (2, 2, bk, D) double-buffered K/V slots. Online-softmax carry
     lives in registers (same as the resident kernel). q arrives pre-scaled
@@ -299,7 +302,7 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=score_dtype,
             )
             if masked:
                 mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]
@@ -311,11 +314,12 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
                               mask_all.astype(jnp.int32), 0),
                     axis=0,
                 )  # (bk,)
-                s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
+                s = jnp.where(mask_blk[None, :] != 0, s,
+                              jnp.asarray(_NEG_INF, score_dtype))
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2((s - m_new).astype(v_blk.dtype))
-            alpha = jnp.exp2(m - m_new)
+            alpha = jnp.exp2((m - m_new).astype(jnp.float32))
             l_new = l * alpha + jnp.sum(
                 p, axis=-1, keepdims=True, dtype=jnp.float32
             )
@@ -331,7 +335,7 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
     bq = q_ref.shape[1]
     carry = (
         jnp.zeros((bq, d), jnp.float32),
-        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, score_dtype),
         jnp.zeros((bq, 1), jnp.float32),
     )
     carry = jax.lax.fori_loop(0, n_masked_lo, make_body(True), carry)
@@ -383,10 +387,10 @@ def flash_attention(
     mask; requires Lq == Lk and that any key padding is a *suffix* — a
     padded key col ≥ n_real is then causally masked for every real row, so
     kv_mask must be None). block_q/block_k: None = per-variant measured
-    defaults (512/512 resident, 512/1024 streaming). bf16_scores: resident
-    kernel only — bf16 QK^T scores + bf16 online max/sub (None = the
+    defaults (512/512 resident, 512/1024 streaming). bf16_scores: bf16
+    QK^T scores + bf16 online max/sub in every kernel variant (None = the
     QIE_FLASH_BF16_SCORES env default; ~1.6e-3 extra max-err, inside bf16
-    output resolution).
+    output resolution; only applies to bf16 inputs).
     Returns (B, H, Lq, D) in q's dtype.
     """
     b, h, lq, d = q.shape
@@ -417,6 +421,9 @@ def flash_attention(
     nk = lk_p // bk
 
     scale = d ** -0.5
+    use_bf16 = _BF16_SCORES if bf16_scores is None else bf16_scores
+    score_dtype = (jnp.bfloat16 if use_bf16 and q.dtype == jnp.bfloat16
+                   else jnp.float32)
     cost = pl.CostEstimate(
         flops=4 * b * h * lq_p * lk_p * d,
         bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
@@ -431,7 +438,8 @@ def flash_attention(
         # pre-fold scale · log2e (base-2 softmax domain)
         qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
         out = pl.pallas_call(
-            functools.partial(_flash_kernel_causal, block_q=bq, block_k=bk),
+            functools.partial(_flash_kernel_causal, block_q=bq, block_k=bk,
+                              score_dtype=score_dtype),
             out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
             grid=(b * h, lq_p // bq),
             in_specs=[
@@ -461,9 +469,6 @@ def flash_attention(
     n_unmasked_hi = nk - 1 if lk_p > lk else nk
 
     if resident:
-        use_bf16 = _BF16_SCORES if bf16_scores is None else bf16_scores
-        score_dtype = (jnp.bfloat16 if use_bf16 and q.dtype == jnp.bfloat16
-                       else jnp.float32)
         out = pl.pallas_call(
             functools.partial(_flash_kernel, scale=scale, block_k=bk,
                               num_heads=h, n_masked_lo=n_masked_lo,
@@ -496,7 +501,8 @@ def flash_attention(
         functools.partial(_flash_kernel_hbm, block_k=bk,
                           num_heads=h, kv_heads=hkv,
                           n_masked_lo=n_masked_lo,
-                          n_unmasked_hi=n_unmasked_hi),
+                          n_unmasked_hi=n_unmasked_hi,
+                          score_dtype=score_dtype),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
         grid=(b * h, lq_p // bq),
         in_specs=[

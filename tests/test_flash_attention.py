@@ -79,6 +79,26 @@ def test_bf16_scores_matches_reference():
         np.asarray(out, np.float32), np.asarray(base, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+    # streaming variant honors it too
+    out_s = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                            block_q=128, block_k=128, bf16_scores=True,
+                            stream=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_bf16_scores_causal():
+    """Causal (VL decoder) variant under bf16 scores."""
+    q, k, v = _qkv(1, 2, 256, 256, 128, dtype=jnp.bfloat16, seed=4)
+    ref = _causal_ref(q, k, v)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=128, block_k=128, bf16_scores=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
 
 
 def test_supported_gate():
