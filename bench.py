@@ -27,7 +27,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_SEC = 5.6  # reference headline: Lightning LoRA 2-step on A100
 
 
+def _backend_reachable(timeout: int) -> bool:
+    """Probe backend init in a subprocess. The tunneled TPU backend can
+    hang indefinitely during outages (observed 6+ h on 2026-08-17/18);
+    probing in a child process turns that into a bounded, reportable
+    failure instead of a silent bench hang."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main():
+    probe_s = int(os.environ.get("QIE_BENCH_PROBE_TIMEOUT", "600"))
+    if probe_s > 0 and not _backend_reachable(probe_s):
+        print(json.dumps({
+            "metric": "sec/image (bench aborted)",
+            "value": None,
+            "unit": "s/img",
+            "vs_baseline": None,
+            "error": f"accelerator backend failed to initialize within "
+                     f"{probe_s}s (tunnel outage?) — no measurement taken",
+        }))
+        sys.exit(1)
     preset_name = os.environ.get("QIE_BENCH_PRESET", "bench-2b")
     steps = int(os.environ.get("QIE_BENCH_STEPS", "2"))
     size = int(os.environ.get("QIE_BENCH_SIZE", "1024"))
