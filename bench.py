@@ -31,17 +31,38 @@ def _backend_reachable(timeout: int) -> bool:
     """Probe backend init in a subprocess. The tunneled TPU backend can
     hang indefinitely during outages (observed 6+ h on 2026-08-17/18);
     probing in a child process turns that into a bounded, reportable
-    failure instead of a silent bench hang."""
+    failure instead of a silent bench hang. Probes in fresh ≤150 s
+    attempts until the budget runs out: an init that hung at outage time
+    stays hung even after the tunnel recovers, so one long attempt would
+    miss a recovery that a fresh attempt catches."""
     import subprocess
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout, check=True, capture_output=True,
+    deadline = time.time() + timeout
+    while True:
+        attempt = min(150.0, deadline - time.time())
+        if attempt <= 0:
+            return False
+        # same platform override as the CLI entry points (compile_cache.
+        # honor_platform_env): JAX_PLATFORMS=cpu must probe the CPU backend,
+        # not the sitecustomize-registered ambient TPU plugin
+        code = (
+            "import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "jax.devices()\n"
         )
-        return True
-    except Exception:
-        return False
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=attempt, check=True, capture_output=True,
+            )
+            return True
+        except Exception:
+            if time.time() >= deadline:
+                return False
+            print("# backend probe attempt failed; retrying "
+                  f"({deadline - time.time():.0f}s budget left)",
+                  file=sys.stderr)
 
 
 def main():
