@@ -447,6 +447,37 @@ def bench_serve(args):
             print(f"  /edit {tag:<4} p50 {p50:.3f}s  p90 {p90:.3f}s  "
                   f"max {ts[-1]:.3f}s  first {first:.3f}s  "
                   f"(n={len(ts)}, distinct prompts → cache-miss path)")
+
+        # stream-session mode: temporal-latent streaming over the SAME
+        # wire — one session id, frozen prompt, a different frame each
+        # POST. Frame 1 (keyframe) pays the full schedule + the two fused
+        # compiles; the steady-state frames run refine-only (one model
+        # call at 2 steps) — the reference's React webcam tab pays the
+        # full pipeline for every one of these (App.js:147-178).
+        ts = []
+        first = None
+        from PIL import Image
+
+        base = np.asarray(imaging.make_test_image(512, 512, "gradient"))
+        for i in range(n + 1):
+            frame = Image.fromarray(np.roll(base, 7 * i, axis=1))
+            buf = io.BytesIO()
+            frame.save(buf, "JPEG", quality=90)
+            dt = post({
+                "image": base64.b64encode(buf.getvalue()).decode(),
+                "prompt": "Transform into oil painting style",
+                "steps": args.steps, "stream_session": "bench-cam",
+            })
+            if i == 0:
+                first = dt
+            else:
+                ts.append(dt)
+        ts.sort()
+        p50 = statistics.median(ts)
+        print(f"  /edit session p50 {p50:.3f}s ({1.0 / p50:.1f} fps)  "
+              f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
+              f"keyframe+compile {first:.3f}s  (n={len(ts)}, one "
+              f"stream_session, temporal refine frames @{engine.input_size}²)")
     finally:
         srv.shutdown()
 

@@ -52,6 +52,10 @@ class InferenceEngine:
     # False (reference parity): concurrent requests get 429. True: requests
     # queue on the lock and run serially (set via QIE_QUEUE=1 in serving).
     queue_requests: bool = False
+    # Bounded table of temporal-latent stream sessions (requests carrying a
+    # `stream_session` id — see _edit_stream). LRU-evicted beyond this.
+    max_stream_sessions: int = 4
+    _sessions: Dict[str, Any] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
     total_requests: int = 0
     last_elapsed: Optional[float] = None
@@ -137,6 +141,9 @@ class InferenceEngine:
             raise EngineBusy("Server is busy processing another request")
         try:
             start = time.time()
+            sid = request.get("stream_session")
+            if sid:
+                return self._edit_stream(str(sid), request, start)
             img = imaging.base64_to_pil(request["image"])
             prompt = request.get("prompt", "Transform into oil painting style")
             steps = int(request.get("steps", self.default_steps))
@@ -186,6 +193,88 @@ class InferenceEngine:
             }
         finally:
             self._lock.release()
+
+    def _edit_stream(self, sid: str, request: Dict[str, Any],
+                     start: float) -> Dict[str, Any]:
+        """`/edit` with a `stream_session` id: temporal-latent streaming
+        over the SAME wire contract.
+
+        The reference's React webcam tab streams by POSTing every captured
+        frame to /edit, paying the full pipeline each time (App.js:147-178 →
+        server.py:123-155 — its qwen_realtime.py temporal machinery was
+        never reachable over HTTP). Here a request that carries a
+        `stream_session` string is served by a per-session RealtimePipeline
+        sharing this engine's params and compiled-graph cache: the first
+        frame (and every keyframe_interval-th) runs the full schedule from
+        fresh noise; frames in between re-noise the previous frame's latent
+        and run only the tail refine steps — one model call per frame at
+        the default 2-step config — inside ONE fused device dispatch
+        (pipeline/stream.py). Output is input_size² (same-size img2img on
+        the live frame), unlike the sessionless path's area-1024² upscale.
+
+        Changing `prompt`/`use_cfg` mid-session re-freezes the prompt
+        conditioning (one VL encode) but keeps the temporal latent — live
+        prompt editing, StreamDiffusion semantics. `ref_mode="condition"`
+        is rejected: the stream path conditions on the live frame itself.
+        Sessions are LRU-bounded at max_stream_sessions; eviction only
+        drops cached latent state (the next request re-anchors with a
+        keyframe). Response carries extension fields `stream_session`,
+        `keyframe`, `frame` on top of the reference contract.
+        """
+        import dataclasses
+
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+            RealtimePipeline,
+        )
+
+        img = imaging.base64_to_pil(request["image"])
+        prompt = request.get("prompt", "Transform into oil painting style")
+        steps = int(request.get("steps", self.default_steps))
+        use_cfg = bool(request.get("use_cfg", False))
+        s = self.input_size
+        if request.get("ref_image"):
+            ref_mode = request.get("ref_mode", "blend")
+            if ref_mode != "blend":
+                raise InvalidRequest(
+                    "stream_session supports ref_mode='blend' only (the "
+                    "stream path conditions on the live frame itself)")
+            ref = imaging.base64_to_pil(request["ref_image"])
+            img = imaging.blend(
+                imaging.resize(img, s, s), imaging.resize(ref, s, s),
+                float(request.get("blend_ratio", 0.5)),
+            )
+        img = imaging.resize(img, s, s)
+
+        sess = self._sessions.pop(sid, None)
+        if sess is None:
+            while len(self._sessions) >= self.max_stream_sessions:
+                del self._sessions[next(iter(self._sessions))]
+            scfg = self.pipeline.config.replace(
+                width=s, height=s, num_inference_steps=steps)
+            sess = RealtimePipeline(
+                pipe=dataclasses.replace(self.pipeline, config=scfg))
+        self._sessions[sid] = sess  # (re)insert = LRU most-recent
+
+        if sess.config.num_inference_steps != steps:
+            sess.pipe.config = sess.config.replace(
+                num_inference_steps=steps)
+        negative = "" if use_cfg else None
+        if (sess._frozen_txt is None or sess.prompt != prompt
+                or sess.negative_prompt != negative):
+            sess.precompute_conditions(prompt, negative)
+
+        out = sess.process_frame(img)
+        elapsed = time.time() - start
+        self.total_requests += 1
+        self.last_elapsed = elapsed
+        return {
+            "image": imaging.pil_to_base64(out),
+            "elapsed": elapsed,
+            "status": "success",
+            "stream_session": sid,
+            "keyframe": bool(sess.is_keyframe),
+            "frame": sess.frame_count,
+        }
 
     # ------------------------------------------------------------------
     # Profiling (SURVEY.md §5.1: reference has wall-clock prints only; we

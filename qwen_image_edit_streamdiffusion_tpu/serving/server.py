@@ -152,11 +152,18 @@ def create_fastapi_app(engine: InferenceEngine):
         # "blend" (reference parity) | "condition" (second condition image
         # via the upstream multi-image pipeline signature)
         ref_mode: str = "blend"
+        # temporal-latent streaming over the same wire: requests sharing a
+        # session id reuse the previous frame's latent (keyframes re-anchor)
+        stream_session: str | None = None
 
     class EditResponse(BaseModel):
         image: str
         elapsed: float
         status: str
+        # stream-session extension fields (None on sessionless requests)
+        stream_session: str | None = None
+        keyframe: bool | None = None
+        frame: int | None = None
 
     @app.get("/")
     async def root():

@@ -195,3 +195,75 @@ def test_ref_mode_condition_two_image_edit(server_url):
     # the pipeline saw TWO condition images (3 img_shapes in the bucket)
     assert any(k[0] == "denoise" and len(k[2]) == 3
                for k in engine.pipeline._jit_cache)
+
+
+def test_stream_session_over_http(server_url):
+    """A `stream_session` id turns /edit into temporal-latent streaming:
+    the first frame is a keyframe (full schedule from noise), subsequent
+    frames re-noise the previous latent and run only the tail refine steps
+    — all over the unchanged wire contract."""
+    url, engine = server_url
+    g1 = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gradient"))
+    g2 = imaging.pil_to_base64(imaging.make_test_image(64, 64, "circle"))
+    code, b1 = _post(url + "/edit", {
+        "image": g1, "prompt": "watercolor", "stream_session": "cam-1",
+    })
+    assert code == 200, b1
+    assert b1["status"] == "success"
+    assert b1["stream_session"] == "cam-1"
+    assert b1["keyframe"] is True and b1["frame"] == 1
+    out = imaging.base64_to_pil(b1["image"])
+    assert out.size == (64, 64)  # stream output = input_size² img2img
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    code, b2 = _post(url + "/edit", {
+        "image": g2, "prompt": "watercolor", "stream_session": "cam-1",
+    })
+    assert code == 200, b2
+    assert b2["keyframe"] is False and b2["frame"] == 2
+    assert np.isfinite(
+        np.asarray(imaging.base64_to_pil(b2["image"]), np.float32)
+    ).all()
+    # session state lives in the engine, bounded table
+    assert "cam-1" in engine._sessions
+
+
+def test_stream_session_prompt_switch_keeps_latent(server_url):
+    """Changing the prompt mid-session re-freezes conditioning (one VL
+    encode) but keeps the temporal latent — live prompt editing."""
+    url, engine = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    _post(url + "/edit", {"image": img, "prompt": "a",
+                          "stream_session": "cam-2"})
+    sess = engine._sessions["cam-2"]
+    latent_before = sess.prev_latent
+    code, body = _post(url + "/edit", {"image": img, "prompt": "b",
+                                       "stream_session": "cam-2"})
+    assert code == 200 and body["frame"] == 2
+    assert sess.prompt == "b"
+    assert latent_before is not None  # frame 1 left a latent behind
+    assert body["keyframe"] is False  # prompt switch did NOT reset cadence
+
+
+def test_stream_session_lru_eviction(server_url):
+    url, engine = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    engine.max_stream_sessions = 2
+    engine._sessions.clear()
+    for sid in ("s1", "s2", "s3"):  # s3 evicts s1 (oldest)
+        code, _ = _post(url + "/edit",
+                        {"image": img, "stream_session": sid})
+        assert code == 200
+    assert set(engine._sessions) == {"s2", "s3"}
+    engine.max_stream_sessions = 4
+
+
+def test_stream_session_rejects_ref_mode_condition(server_url):
+    url, _ = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "gray"))
+    code, body = _post(url + "/edit", {
+        "image": img, "ref_image": img, "ref_mode": "condition",
+        "stream_session": "cam-3",
+    })
+    assert code == 422
+    assert "stream_session" in body["detail"]
