@@ -65,6 +65,12 @@ export default function App() {
   const [result, setResult] = useState(null);
   const [status, setStatus] = useState("idle");
   const [busy, setBusy] = useState(false);
+  const [streaming, setStreaming] = useState(false);
+  // live values for the stream loop (so prompt/steps/CFG edits apply to the
+  // NEXT frame of a running stream — the server re-freezes conditioning)
+  const liveRef = useRef({});
+  liveRef.current = { prompt, steps, useCfg };
+  const streamRef = useRef({ on: false, sid: null, n: 0, t0: 0 });
 
   const submit = useCallback(
     async (imageDataUrl) => {
@@ -108,6 +114,71 @@ export default function App() {
     [prompt, steps, useCfg, tab, refData, blend]
   );
 
+  // Stream mode: POST webcam frames continuously under ONE stream_session
+  // id — the server keeps temporal latent state per session (keyframes
+  // re-anchor every keyframe_interval frames; frames in between re-noise
+  // the previous latent and run refine-only).
+  const streamLoop = useCallback(async () => {
+    const st = streamRef.current;
+    while (st.on) {
+      const video = webcamRef.current && webcamRef.current.video;
+      if (!video || !video.videoWidth) {
+        await new Promise((r) => setTimeout(r, 100));
+        continue;
+      }
+      const live = liveRef.current;
+      try {
+        const resp = await fetch(`${API_URL}/edit`, {
+          method: "POST",
+          headers: { "Content-Type": "application/json" },
+          body: JSON.stringify({
+            image: cropToSquare(video, video.videoWidth, video.videoHeight),
+            prompt: live.prompt,
+            steps: live.steps,
+            use_cfg: live.useCfg,
+            stream_session: st.sid,
+          }),
+        });
+        const json = await resp.json();
+        if (resp.ok) {
+          setResult(`data:image/jpeg;base64,${json.image}`);
+          st.n += 1;
+          const fps = st.n / ((performance.now() - st.t0) / 1000);
+          setStatus(
+            `streaming ${fps.toFixed(1)} fps (frame ${st.n}` +
+              `${json.keyframe ? ", keyframe" : ""})`
+          );
+        } else if (resp.status === 429) {
+          await new Promise((r) => setTimeout(r, 50)); // another client holds the chip
+        } else {
+          setStatus(`error ${resp.status}: ${json.detail || "unknown"}`);
+          await new Promise((r) => setTimeout(r, 500));
+        }
+      } catch (e) {
+        setStatus(`request failed: ${e}`);
+        await new Promise((r) => setTimeout(r, 500));
+      }
+    }
+  }, []);
+
+  const toggleStream = useCallback(
+    (on) => {
+      const st = streamRef.current;
+      if (on === st.on) return;
+      st.on = on;
+      setStreaming(on);
+      if (on) {
+        st.sid = `react-${Math.random().toString(36).slice(2)}`;
+        st.n = 0;
+        st.t0 = performance.now();
+        streamLoop();
+      } else {
+        setStatus("idle");
+      }
+    },
+    [streamLoop]
+  );
+
   const onEdit = useCallback(() => {
     if (busy) return;
     if (tab === "webcam") {
@@ -127,7 +198,14 @@ export default function App() {
       <h2>Qwen-Image-Edit-2509 — TPU realtime editing</h2>
       <div>
         {["webcam", "upload", "composite"].map((t) => (
-          <button key={t} style={styles.tab(tab === t)} onClick={() => setTab(t)}>
+          <button
+            key={t}
+            style={styles.tab(tab === t)}
+            onClick={() => {
+              setTab(t);
+              if (t !== "webcam") toggleStream(false);
+            }}
+          >
             {t[0].toUpperCase() + t.slice(1)}
           </button>
         ))}
@@ -201,6 +279,17 @@ export default function App() {
             />{" "}
             CFG (higher quality, ~1.5× slower)
           </label>
+          {tab === "webcam" && (
+            <label style={{ display: "block" }}>
+              <input
+                type="checkbox"
+                checked={streaming}
+                onChange={(e) => toggleStream(e.target.checked)}
+              />{" "}
+              Stream (temporal session: keyframes re-anchor, in-between
+              frames refine-only)
+            </label>
+          )}
           <button style={styles.button} onClick={onEdit} disabled={busy}>
             {busy ? "Processing…" : "Edit"}
           </button>

@@ -45,6 +45,8 @@ INDEX_HTML = """<!doctype html>
   <label>Steps: <input type="range" id="steps" min="2" max="8" step="1" value="2">
     <span id="stepsv">2</span></label>
   <label><input type="checkbox" id="cfg"> CFG (higher quality, slower)</label>
+  <label id="streamrow"><input type="checkbox" id="stream"> Stream webcam
+    (temporal session: keyframes re-anchor, in-between frames refine-only)</label>
   <label id="blendrow" style="display:none">Blend:
     <input type="range" id="blend" min="0" max="1" step="0.05" value="0.5"></label>
   <button id="go">Edit</button>
@@ -60,7 +62,9 @@ function setMode(m){mode=m;for(const k in tabs)tabs[k].classList.toggle('active'
  $('video').style.display=m==='webcam'?'block':'none';
  $('file').style.display=m!=='webcam'?'block':'none';
  $('reffile').style.display=m==='composite'?'block':'none';
- $('blendrow').style.display=m==='composite'?'block':'none';}
+ $('blendrow').style.display=m==='composite'?'block':'none';
+ $('streamrow').style.display=m==='webcam'?'block':'none';
+ if(m!=='webcam')$('stream').checked=false;}
 for(const k in tabs)tabs[k].onclick=()=>setMode(k);
 $('steps').oninput=e=>$('stepsv').textContent=e.target.value;
 navigator.mediaDevices.getUserMedia({video:true}).then(s=>$('video').srcObject=s).catch(()=>{});
@@ -70,26 +74,48 @@ function crop512(src,w,h){const c=$('canvas');c.width=512;c.height=512;
 function fileToData(f,cb){const img=new Image();img.onload=()=>cb(crop512(img,img.width,img.height));
  img.src=URL.createObjectURL(f);}
 $('reffile').onchange=e=>{if(e.target.files[0])fileToData(e.target.files[0],d=>refData=d);};
+function send(data,extra,onDone,onFail){
+ busy=true;if(!extra)$('status').textContent='processing...';const t0=Date.now();
+ const body={image:data,prompt:$('prompt').value,steps:+$('steps').value,
+             use_cfg:$('cfg').checked,...(extra||{})};
+ if(mode==='composite'&&refData){body.ref_image=refData;body.blend_ratio=+$('blend').value;}
+ fetch('/edit',{method:'POST',headers:{'Content-Type':'application/json'},
+   body:JSON.stringify(body)})
+  .then(r=>r.json().then(j=>({ok:r.ok,code:r.status,j})))
+  .then(({ok,code,j})=>{busy=false;
+    if(!ok){$('status').textContent='error '+code+': '+(j.detail||'');
+     if(onFail)onFail();return;}
+    $('result').src='data:image/jpeg;base64,'+j.image;
+    if(onDone){onDone(j);}
+    else $('status').textContent='done in '+j.elapsed.toFixed(2)+'s (round trip '+((Date.now()-t0)/1000).toFixed(2)+'s)';})
+  .catch(e=>{busy=false;$('status').textContent='error: '+e;
+   if(onFail)onFail();});
+}
 $('go').onclick=()=>{
  if(busy)return;
- const send=(data)=>{
-  busy=true;$('status').textContent='processing...';const t0=Date.now();
-  const body={image:data,prompt:$('prompt').value,steps:+$('steps').value,
-              use_cfg:$('cfg').checked};
-  if(mode==='composite'&&refData){body.ref_image=refData;body.blend_ratio=+$('blend').value;}
-  fetch('/edit',{method:'POST',headers:{'Content-Type':'application/json'},
-    body:JSON.stringify(body)})
-   .then(r=>r.json().then(j=>({ok:r.ok,code:r.status,j})))
-   .then(({ok,code,j})=>{busy=false;
-     if(!ok){$('status').textContent='error '+code+': '+(j.detail||'');return;}
-     $('result').src='data:image/jpeg;base64,'+j.image;
-     $('status').textContent='done in '+j.elapsed.toFixed(2)+'s (round trip '+((Date.now()-t0)/1000).toFixed(2)+'s)';})
-   .catch(e=>{busy=false;$('status').textContent='error: '+e;});
- };
  if(mode==='webcam'){const v=$('video');send(crop512(v,v.videoWidth,v.videoHeight));}
  else{const f=$('file').files[0];if(!f){$('status').textContent='pick a file';return;}
-  fileToData(f,send);}
+  fileToData(f,d=>send(d));}
 };
+// Stream mode: POST frames continuously under ONE stream_session id —
+// the server keeps temporal latent state (keyframes re-anchor, frames in
+// between re-noise the previous latent and run refine-only).
+let streamSid=null,streamN=0,streamT0=0;
+function streamTick(){
+ if(!$('stream').checked||mode!=='webcam')return;
+ if(busy){setTimeout(streamTick,30);return;}
+ const v=$('video');
+ send(crop512(v,v.videoWidth,v.videoHeight),{stream_session:streamSid},j=>{
+  streamN++;const fps=streamN/((Date.now()-streamT0)/1000);
+  $('status').textContent='streaming '+fps.toFixed(1)+' fps (frame '+streamN+
+    (j.keyframe?', keyframe':'')+')';
+  setTimeout(streamTick,0);},
+  ()=>setTimeout(streamTick,300));  // retry after transient errors/429
+}
+$('stream').onchange=e=>{
+ if(e.target.checked){streamSid='ui-'+Math.random().toString(36).slice(2);
+  streamN=0;streamT0=Date.now();streamTick();}
+ else $('status').textContent='idle';};
 </script></body></html>
 """
 
