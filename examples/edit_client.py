@@ -28,7 +28,9 @@ def center_crop_square(img: Image.Image, size: int = 512) -> Image.Image:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("image")
+    ap.add_argument("image", nargs="+",
+                    help="input image; several = frames of a stream "
+                         "(sent in order; pair with --session)")
     ap.add_argument("prompt")
     ap.add_argument("--out", default="edited.jpg")
     ap.add_argument("--server", default="http://localhost:8086")
@@ -42,7 +44,13 @@ def main() -> int:
                          "parity); condition = pass the ref as a second "
                          "condition image (multi-image editing)")
     ap.add_argument("--blend-ratio", type=float, default=0.5)
+    ap.add_argument("--session",
+                    help="stream_session id: frames sent under one id share "
+                         "temporal latent state server-side (keyframes "
+                         "re-anchor, in-between frames run refine-only)")
     args = ap.parse_args()
+    if len(args.image) > 1 and not args.session:
+        ap.error("multiple images need --session (a stream id)")
 
     def to_b64(path: str) -> str:
         im = center_crop_square(Image.open(path).convert("RGB"))
@@ -50,30 +58,40 @@ def main() -> int:
         im.save(buf, "JPEG", quality=90)
         return base64.b64encode(buf.getvalue()).decode()
 
-    body = {
-        "image": to_b64(args.image),
-        "prompt": args.prompt,
-        "steps": args.steps,
-        "use_cfg": args.cfg,
-    }
-    if args.ref:
-        body["ref_image"] = to_b64(args.ref)
-        body["ref_mode"] = args.ref_mode
-        body["blend_ratio"] = args.blend_ratio
-    req = urllib.request.Request(
-        f"{args.server}/edit", json.dumps(body).encode(),
-        {"Content-Type": "application/json"},
-    )
-    try:
-        resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
-    except urllib.error.HTTPError as e:
-        print(f"HTTP {e.code}: {e.read().decode()[:200]}", file=sys.stderr)
-        return 1
-    if resp.get("status") != "success":
-        print(f"edit failed: {resp}", file=sys.stderr)
-        return 1
-    Image.open(io.BytesIO(base64.b64decode(resp["image"]))).save(args.out)
-    print(f"edited in {resp['elapsed']:.2f}s → {args.out}")
+    for i, path in enumerate(args.image):
+        body = {
+            "image": to_b64(path),
+            "prompt": args.prompt,
+            "steps": args.steps,
+            "use_cfg": args.cfg,
+        }
+        if args.session:
+            body["stream_session"] = args.session
+        if args.ref:
+            body["ref_image"] = to_b64(args.ref)
+            body["ref_mode"] = args.ref_mode
+            body["blend_ratio"] = args.blend_ratio
+        req = urllib.request.Request(
+            f"{args.server}/edit", json.dumps(body).encode(),
+            {"Content-Type": "application/json"},
+        )
+        try:
+            resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+        except urllib.error.HTTPError as e:
+            print(f"HTTP {e.code}: {e.read().decode()[:200]}", file=sys.stderr)
+            return 1
+        if resp.get("status") != "success":
+            print(f"edit failed: {resp}", file=sys.stderr)
+            return 1
+        out = args.out
+        if len(args.image) > 1:  # frame-numbered outputs for streams
+            stem, dot, ext = args.out.rpartition(".")
+            out = f"{stem or ext}_{i:03d}.{ext}" if dot else f"{args.out}_{i:03d}"
+        Image.open(io.BytesIO(base64.b64decode(resp["image"]))).save(out)
+        tag = (f" [frame {resp['frame']}"
+               f"{', keyframe' if resp.get('keyframe') else ''}]"
+               if args.session else "")
+        print(f"edited in {resp['elapsed']:.2f}s → {out}{tag}")
     return 0
 
 
