@@ -137,6 +137,7 @@ export default function App() {
             steps: live.steps,
             use_cfg: live.useCfg,
             stream_session: st.sid,
+            stream_pipeline: true, // overlap device compute with the wire
           }),
         });
         const json = await resp.json();

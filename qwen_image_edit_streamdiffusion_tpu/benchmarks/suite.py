@@ -478,6 +478,28 @@ def bench_serve(args):
               f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
               f"keyframe+compile {first:.3f}s  (n={len(ts)}, one "
               f"stream_session, temporal refine frames @{engine.input_size}²)")
+
+        # pipelined session: each POST dispatches its frame and returns the
+        # previous one (lag 1) — device compute overlaps the wire
+        ts = []
+        for i in range(n + 1):
+            frame = Image.fromarray(np.roll(base, 5 * i + 3, axis=0))
+            buf = io.BytesIO()
+            frame.save(buf, "JPEG", quality=90)
+            dt = post({
+                "image": base64.b64encode(buf.getvalue()).decode(),
+                "prompt": "Transform into oil painting style",
+                "steps": args.steps, "stream_session": "bench-cam-p",
+                "stream_pipeline": True,
+            })
+            if i:
+                ts.append(dt)
+        ts.sort()
+        p50 = statistics.median(ts)
+        print(f"  /edit session(pipelined) p50 {p50:.3f}s "
+              f"({1.0 / p50:.1f} fps)  "
+              f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
+              f"(n={len(ts)}, lag-1 responses)")
     finally:
         srv.shutdown()
 

