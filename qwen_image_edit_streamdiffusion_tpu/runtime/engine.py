@@ -177,13 +177,23 @@ class InferenceEngine:
 
             # CFG convention parity (server.py:135-153): use_cfg passes an
             # empty negative prompt (engaging true CFG); fast mode is
-            # cond-only.
+            # cond-only. Extensions beyond the reference wire: an explicit
+            # negative_prompt (honored only with use_cfg, like the upstream
+            # do_true_cfg gate), cfg_scale (true_cfg_scale), and seed
+            # (reference pins 42 server-side).
+            # (explicit-None request values — e.g. from the FastAPI model
+            # dump — mean "use the default", same as an absent key)
+            cfg_scale = request.get("cfg_scale")
+            seed = request.get("seed")
             result = self.pipeline(
                 [img] + extra_images,
                 prompt,
-                negative_prompt="" if use_cfg else None,
+                negative_prompt=(str(request.get("negative_prompt") or "")
+                                 if use_cfg else None),
                 num_inference_steps=steps,
-                seed=42,
+                true_cfg_scale=(None if cfg_scale is None
+                                else float(cfg_scale)),
+                seed=42 if seed is None else int(seed),
             )
             elapsed = time.time() - start
             self.total_requests += 1
@@ -272,7 +282,8 @@ class InferenceEngine:
         if sess.config.num_inference_steps != steps:
             sess.pipe.config = sess.config.replace(
                 num_inference_steps=steps)
-        negative = "" if use_cfg else None
+        negative = (str(request.get("negative_prompt") or "")
+                    if use_cfg else None)
         if (sess._frozen_txt is None or sess.prompt != prompt
                 or sess.negative_prompt != negative):
             sess.precompute_conditions(prompt, negative)

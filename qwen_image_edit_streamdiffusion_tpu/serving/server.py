@@ -158,6 +158,11 @@ def create_fastapi_app(engine: InferenceEngine):
         # with a session: dispatch this frame, return the previous one
         # (lag-1 overlap of device compute with the wire)
         stream_pipeline: bool = False
+        # extensions beyond the reference wire (reference pins these
+        # server-side: seed 42, empty negative prompt, scale from config)
+        negative_prompt: str | None = None  # honored only with use_cfg
+        cfg_scale: float | None = None  # true_cfg_scale override
+        seed: int = 42
 
     class EditResponse(BaseModel):
         image: str

@@ -296,3 +296,23 @@ def test_stream_session_pipelined_lag(server_url):
     assert code == 200 and "lag" not in body
     assert "pipe-1" not in engine._session_pending or \
         engine._session_pending["pipe-1"] is None
+
+
+def test_edit_request_extensions_seed_negative_cfgscale(server_url):
+    """Extension fields beyond the reference wire: per-request seed,
+    negative_prompt (with use_cfg) and cfg_scale. Same seed → identical
+    output; different seed → different output."""
+    url, _ = server_url
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "circle"))
+    def run(extra):
+        code, body = _post(url + "/edit",
+                           {"image": img, "prompt": "sketch", **extra})
+        assert code == 200, body
+        return body["image"]
+    a = run({"seed": 7})
+    b = run({"seed": 7})
+    c = run({"seed": 8})
+    assert a == b and a != c
+    # custom negative prompt + scale run the CFG path without error
+    run({"use_cfg": True, "negative_prompt": "blurry, low quality",
+         "cfg_scale": 3.0})
