@@ -114,8 +114,10 @@ def test_bench_suite_serve_path(capsys):
     suite.main(["serve", "--preset", "tiny", "--size", "64",
                 "--steps", "1", "--runs", "1"])
     out = capsys.readouterr().out
-    assert out.count("p50") == 2  # fast + cfg
+    # fast + cfg + stream session + pipelined stream session
+    assert out.count("p50") == 4
     assert "fast" in out and "cfg" in out
+    assert "session" in out and "pipelined" in out
 
 
 def test_bench_suite_realtime_path(capsys):
