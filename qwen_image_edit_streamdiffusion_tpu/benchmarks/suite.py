@@ -397,7 +397,7 @@ def bench_serve(args):
         cfg_mode=args.cfg_mode,
     )
     engine = InferenceEngine.create(args.preset, config=config, seed=0,
-                                    warmup_runs=1)
+                                    warmup_runs=1, warmup_stream=True)
     srv = make_server(engine, host="127.0.0.1", port=0)
     port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -476,7 +476,7 @@ def bench_serve(args):
         p50 = statistics.median(ts)
         print(f"  /edit session p50 {p50:.3f}s ({1.0 / p50:.1f} fps)  "
               f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
-              f"keyframe+compile {first:.3f}s  (n={len(ts)}, one "
+              f"keyframe(warm) {first:.3f}s  (n={len(ts)}, one "
               f"stream_session, temporal refine frames @{engine.input_size}²)")
 
         # pipelined session: each POST dispatches its frame and returns the

@@ -49,6 +49,12 @@ class InferenceEngine:
     # a cold compile here costs minutes through the tunnel, so the first
     # use_cfg=true request must not pay it.
     warmup_cfg: bool = True
+    # Also pre-compile the stream-session fused graphs (keyframe + temporal
+    # refine at input_size²) so a session's first frames don't pay
+    # tunnel-scale compiles (measured 168 s cold). Off by default: only
+    # deployments that serve `stream_session` requests should pay the two
+    # extra startup compiles (cheap on a warm persistent compile cache).
+    warmup_stream: bool = False
     # False (reference parity): concurrent requests get 429. True: requests
     # queue on the lock and run serially (set via QIE_QUEUE=1 in serving).
     queue_requests: bool = False
@@ -72,6 +78,7 @@ class InferenceEngine:
         seed: int = 0,
         warmup_runs: int = 1,
         warmup_cfg: Optional[bool] = None,
+        warmup_stream: Optional[bool] = None,
         input_size: Optional[int] = None,
         transformer_path: Optional[str] = None,
         vae_path: Optional[str] = None,
@@ -103,11 +110,14 @@ class InferenceEngine:
 
         if warmup_cfg is None:
             warmup_cfg = os.environ.get("QIE_WARMUP_CFG", "1") == "1"
+        if warmup_stream is None:
+            warmup_stream = os.environ.get("QIE_WARMUP_STREAM", "0") == "1"
         if input_size is None:
             input_size = int(os.environ.get("QIE_INPUT_SIZE", "512"))
         eng = cls(pipeline=pipe,
                   default_steps=pipe.config.num_inference_steps,
-                  warmup_cfg=warmup_cfg, input_size=input_size)
+                  warmup_cfg=warmup_cfg, warmup_stream=warmup_stream,
+                  input_size=input_size)
         if warmup_runs:
             eng.warmup(runs=warmup_runs)
         return eng
@@ -123,6 +133,30 @@ class InferenceEngine:
         self.pipeline.warmup(height=self.input_size, width=self.input_size,
                              steps=self.default_steps, runs=runs,
                              cfg=self.warmup_cfg)
+        if self.warmup_stream:
+            self._warmup_stream_graphs()
+
+    def _warmup_stream_graphs(self) -> None:
+        """Compile the stream-session fused graphs (keyframe + temporal
+        refine, no-CFG, at input_size² × default_steps — the same
+        construction `_edit_stream` uses, so the jit-cache keys match).
+        A throwaway session shares this engine's pipeline params and
+        `_jit_cache`; only the compiled graphs survive it."""
+        import dataclasses
+
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+            RealtimePipeline,
+        )
+
+        s = self.input_size
+        scfg = self.pipeline.config.replace(
+            width=s, height=s, num_inference_steps=self.default_steps)
+        sess = RealtimePipeline(
+            pipe=dataclasses.replace(self.pipeline, config=scfg))
+        sess.precompute_conditions("warmup")
+        img = imaging.make_test_image(s, s, "gradient")
+        sess.process_frame(img)  # keyframe graph (full schedule)
+        sess.process_frame(img)  # temporal refine graph
 
     # ------------------------------------------------------------------
 

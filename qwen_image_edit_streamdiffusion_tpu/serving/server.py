@@ -233,6 +233,11 @@ def main(argv=None):
     ap.add_argument("--no-warmup-cfg", action="store_true",
                     help="skip compiling the use_cfg bucket at startup "
                          "(first CFG request then pays the compile)")
+    ap.add_argument("--warmup-stream", action="store_true",
+                    default=os.environ.get("QIE_WARMUP_STREAM", "") == "1",
+                    help="also pre-compile the stream-session fused graphs "
+                         "(keyframe + temporal refine at input_size²) so a "
+                         "session's first frames skip tunnel-scale compiles")
     # Converted-orbax checkpoints (models.checkpoint CLI output). Without
     # these the server runs random-init weights (ADVICE r1: the wire-
     # compatible server must be able to serve real converted weights).
@@ -299,6 +304,7 @@ def main(argv=None):
         args.preset, config=config,
         warmup_runs=0 if args.no_warmup else 1,
         warmup_cfg=False if args.no_warmup_cfg else None,
+        warmup_stream=args.warmup_stream or None,
         input_size=args.input_size,
         mesh=mesh,
         transformer_path=args.transformer, vae_path=args.vae,
