@@ -52,11 +52,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
 
     The softmax is VPU-bound, so per-element work is pruned statically:
     - both dots run bf16-in/f32-accumulate on the MXU (no f32 upcasts);
-    - score_dtype=bfloat16 (QIE_FLASH_BF16_SCORES=1) additionally asks the
-      MXU for bf16 scores and runs the online max/sub in bf16 — halving
-      vreg traffic through the remaining f32 stages of the VPU chain
-      (interpret-mode max-err 4.6e-3 vs 2.9e-3 for f32 scores, inside the
-      bf16 output resolution); the row-sum l and rescale alpha stay f32;
+    - score_dtype=bfloat16 (QIE_FLASH_BF16_SCORES=1) additionally downcasts
+      the QK^T scores to bf16 right after the MXU pass and runs the online
+      max/sub in bf16 — halving vreg traffic through those VPU stages.
+      The dot itself MUST keep preferred_element_type=f32: Mosaic rejects
+      non-32-bit matmul accumulators on real TPUs ('tpu.matmul' op
+      "Expected matmul acc to be 32-bit" — interpret mode accepts bf16,
+      which is why only hardware caught it). Interpret-mode max-err 4.6e-3
+      vs 2.9e-3 for f32 scores, inside the bf16 output resolution; the
+      row-sum l and rescale alpha stay f32. Measured on v5e at the bench
+      shape (L=8704, bq=bk=512): 5.42 ms vs 5.07 ms f32 — the downcast
+      pass costs more than the bf16 max/sub saves, so f32 stays default
+      and the option exists for experimentation only;
     - masking applies only to k-blocks that can contain invalid keys —
       [0, n_masked_lo) (the bucketed text prefix; image keys are always
       valid) and [n_unmasked_hi, nk) (block-size padding) — the bulk of
@@ -80,8 +87,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=score_dtype,
-            )  # (bq, bk) score_dtype
+                preferred_element_type=jnp.float32,
+            ).astype(score_dtype)  # (bq, bk) score_dtype
             if masked:
                 # int8 sublane loads can't use a dynamic row index (Mosaic
                 # needs a provable multiple-of-4); load all B rows and
@@ -167,8 +174,8 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=score_dtype,
-            )  # (bq, bk) score_dtype
+                preferred_element_type=jnp.float32,
+            ).astype(score_dtype)  # (bq, bk) score_dtype
             if diag:
                 rows = q0 + jax.lax.broadcasted_iota(
                     jnp.int32, (bq, block_k), 0
@@ -302,8 +309,8 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=score_dtype,
-            )
+                preferred_element_type=jnp.float32,
+            ).astype(score_dtype)
             if masked:
                 mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]
                 rows = jax.lax.broadcasted_iota(
