@@ -28,15 +28,39 @@ def honor_platform_env() -> None:
             pass  # backend already initialized; leave it be
 
 
+def _cpu_fingerprint() -> str:
+    """Stable hash of the host's CPU feature flags. XLA:CPU AOT cache
+    entries embed the compile host's features; loading them on a host
+    with fewer features trips cpu_aot_loader warnings and risks SIGILL
+    (observed when a cache written on an AMX/avx512-full machine was
+    read on a leaner one). TPU executables target the device, not the
+    host, so only the CPU cache needs this segregation."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 def enable(default_dir: str = "~/.cache/qie_xla") -> str | None:
     honor_platform_env()
     env = os.environ.get("QIE_COMPILE_CACHE", "")
     if env == "0":
         return None
     cache_dir = os.path.expanduser(env or default_dir)
-    os.makedirs(cache_dir, exist_ok=True)
     import jax
 
+    if "cpu" in str(jax.config.jax_platforms or ""):
+        cache_dir = os.path.join(cache_dir, f"cpu-{_cpu_fingerprint()}")
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything (default only caches compilations >1s)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
