@@ -132,19 +132,37 @@ def bench_device_speed(args):
 
 
 def bench_quantized(args):
+    """bf16 → int8 → int4 rungs: memory, speed AND a quality delta.
+
+    PSNR is computed against the bf16 output at the same seed (the
+    deterministic noise + frozen conditioning make the transformer the
+    only varying component) — the reference's test_quantized.py eyeballs
+    saved images; a number makes SURVEY §7.3 item 5's "visually
+    indistinguishable" claim checkable. >35 dB is usually
+    indistinguishable; <25 dB clearly visible."""
     from qwen_image_edit_streamdiffusion_tpu.models import quantize
     from qwen_image_edit_streamdiffusion_tpu.models.common import param_bytes
 
     pipe = _mk_pipe(args)
     img = imaging.make_test_image(args.size, args.size, "gradient")
-    base_bytes = param_bytes(pipe.tfm_params)
+    base_params = pipe.tfm_params
+    base_bytes = param_bytes(base_params)
+    ref = np.asarray(_edit_fn(pipe, img, args.steps)().images[0], np.float32)
     _timed(_edit_fn(pipe, img, args.steps), args.runs, label="bf16")
-    pipe.tfm_params = quantize.quantize_transformer(pipe.tfm_params)
-    pipe._jit_cache.clear()
-    q_bytes = param_bytes(pipe.tfm_params)
-    print(f"  transformer bytes: {base_bytes / 1e6:.0f}MB → {q_bytes / 1e6:.0f}MB "
-          f"({100 * q_bytes / base_bytes:.0f}%)")
-    _timed(_edit_fn(pipe, img, args.steps), args.runs, label="int8")
+    for bits in (8, 4):
+        pipe.tfm_params = quantize.quantize_transformer(base_params,
+                                                        bits=bits)
+        pipe._jit_cache.clear()
+        q_bytes = param_bytes(pipe.tfm_params)
+        out = np.asarray(_edit_fn(pipe, img, args.steps)().images[0],
+                         np.float32)
+        mse = float(((out - ref) ** 2).mean())
+        psnr = float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        print(f"  int{bits}: transformer bytes {base_bytes / 1e6:.0f}MB → "
+              f"{q_bytes / 1e6:.0f}MB ({100 * q_bytes / base_bytes:.0f}%), "
+              f"PSNR vs bf16 {psnr:.1f} dB")
+        _timed(_edit_fn(pipe, img, args.steps), args.runs,
+               label=f"int{bits}")
 
 
 def bench_compiled(args):
