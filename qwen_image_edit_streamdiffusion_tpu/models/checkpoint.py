@@ -89,12 +89,28 @@ def main(argv=None):
     c.add_argument("--preset", default="qwen-image-edit-2509")
     c.add_argument("--out", required=True)
     c.add_argument("--lora", help="optional LoRA safetensors to fuse first")
+    c.add_argument("--fuse-qkv", action="store_true",
+                   help="fuse separate q/k/v into one qkv linear before "
+                        "saving (transformer only) — matches the serving "
+                        "config.fuse_qkv layout")
+    c.add_argument("--quantize", choices=["int8", "int4"],
+                   help="save weight-quantized leaves (transformer or vl): "
+                        "the deployment then restores pre-quantized shards "
+                        "directly into the TP layout — 2-4x less disk and "
+                        "no boot-time quantize pass / transient bf16 "
+                        "residency. Order: LoRA fuse -> qkv fuse -> "
+                        "quantize (same as EditPipeline.create)")
     args = ap.parse_args(argv)
 
     from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
     from qwen_image_edit_streamdiffusion_tpu.models import convert as cv
 
     preset = get_preset(args.preset)
+    if args.fuse_qkv and args.component != "transformer":
+        ap.error("--fuse-qkv applies to --component transformer only")
+    if args.quantize and args.component == "vae":
+        ap.error("--quantize applies to transformer/vl (the VAE is ~100 MB "
+                 "and stays high-precision)")
     state = cv.load_safetensors(args.src)
     if args.component == "transformer":
         params = cv.convert_transformer(state, preset.model)
@@ -102,10 +118,24 @@ def main(argv=None):
             from qwen_image_edit_streamdiffusion_tpu.models import lora
 
             params = lora.fuse_lora(params, lora.load_lora_weights(args.lora))
+        if args.fuse_qkv:
+            from qwen_image_edit_streamdiffusion_tpu.models.optimize import (
+                fuse_qkv,
+            )
+
+            params = fuse_qkv(params)
     elif args.component == "vae":
         params = cv.convert_vae(state, preset.vae)
     else:
         params = cv.convert_vl(state, preset.vl)
+    if args.quantize:
+        from qwen_image_edit_streamdiffusion_tpu.models import quantize as qz
+
+        bits = {"int8": 8, "int4": 4}[args.quantize]
+        if args.component == "transformer":
+            params = qz.quantize_transformer(params, bits=bits)
+        else:
+            params = qz.quantize_vl(params, bits=bits)
     save(args.out, params)
     print(f"saved {args.component} → {args.out}")
 

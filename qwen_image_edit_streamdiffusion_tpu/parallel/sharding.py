@@ -38,7 +38,7 @@ _COL_PARALLEL = {
 _ROW_PARALLEL = {"img_out", "txt_out", "fc2"}
 
 
-def _spec_for_path(path) -> P:
+def _spec_for_path(path, leaf_val=None, axis_sizes=None) -> P:
     names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     names = [n for n in names if isinstance(n, str)]
     leaf = names[-1] if names else ""
@@ -48,30 +48,47 @@ def _spec_for_path(path) -> P:
     in_block = any(isinstance(p, jax.tree_util.SequenceKey) for p in path)
     if not in_block:
         return P()
+    shape = getattr(leaf_val, "shape", None)
+
+    def spec(shard_dim: int, ndim: int) -> P:
+        # even-tiling guard (needs axis_sizes + leaf shapes): a dim the
+        # model axis doesn't divide stays replicated — e.g. int4 scale4 is
+        # (in/64, out), and in/64 < model_axis at test scale. At 20B every
+        # dim divides and the guard is a no-op.
+        dim = None if shape is None else shape[shard_dim]
+        if _fit_axes(MODEL_AXIS, dim, axis_sizes) is None:
+            return P()
+        parts: list = [None] * ndim
+        parts[shard_dim] = MODEL_AXIS
+        return P(*parts)
+
     if owner in _COL_PARALLEL:
         if leaf in ("w", "w_q", "w_q4", "scale4"):
             # int4 scale4 is (in_groups, out) → out-dim shard like the weight
-            return P(None, MODEL_AXIS)
+            return spec(1, 2)
         if leaf in ("b", "scale"):  # int8 per-out-channel scale shards too
-            return P(MODEL_AXIS)
+            return spec(0, 1)
     if owner in _ROW_PARALLEL:
         if leaf in ("w", "w_q", "w_q4", "scale4"):
-            return P(MODEL_AXIS, None)
+            return spec(0, 2)
         if leaf in ("b", "scale"):
             return P()
     return P()
 
 
-def transformer_param_specs(params: Any):
-    """PartitionSpec pytree matching the transformer param pytree."""
+def transformer_param_specs(params: Any, axis_sizes=None):
+    """PartitionSpec pytree matching the transformer param pytree.
+    ``axis_sizes`` ({name: extent}, e.g. dict(mesh.shape)) enables the
+    even-tiling guard: a leaf dim the model axis doesn't divide is
+    replicated instead of producing an invalid NamedSharding."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: _spec_for_path(path), params
+        lambda path, v: _spec_for_path(path, v, axis_sizes), params
     )
 
 
 def shard_transformer_params(params: Any, mesh: Mesh):
     """Place transformer params on the mesh per the TP rules."""
-    specs = transformer_param_specs(params)
+    specs = transformer_param_specs(params, axis_sizes=dict(mesh.shape))
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -105,7 +105,22 @@ def _finalize_encoder(encoder: PromptEncoder, config: StreamConfig, mesh):
             quantize_vl,
         )
 
-        params = quantize_vl(params, bits=4 if config.use_int4_vl else 8)
+        want = 4 if config.use_int4_vl else 8
+        leaf_keys = {
+            getattr(path[-1], "key", None)
+            for path, _ in jax.tree_util.tree_leaves_with_path(params)
+        }
+        saved = 4 if "w_q4" in leaf_keys else (8 if "w_q" in leaf_keys
+                                               else None)
+        if saved is None:
+            params = quantize_vl(params, bits=want)
+        elif saved != want:
+            import warnings
+
+            warnings.warn(
+                f"config requests int{want} VL but the checkpoint is "
+                f"pre-quantized int{saved}; serving the saved rung",
+                stacklevel=2)
     if mesh is not None:
         from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
@@ -200,8 +215,10 @@ class EditPipeline:
         mesh=None,
     ) -> "EditPipeline":
         """Construct from orbax checkpoints produced by
-        models.checkpoint (LoRA fused → optional int8 → optional TP shard,
-        in that order)."""
+        models.checkpoint (LoRA fused → optional int8/int4 → optional TP
+        shard, in that order). Pre-quantized checkpoints (convert
+        --quantize int8|int4) are detected from metadata and restored
+        straight into the TP layout — no boot-time quantize pass."""
         import jax as _jax
 
         from qwen_image_edit_streamdiffusion_tpu.models import checkpoint as ckpt
@@ -209,24 +226,50 @@ class EditPipeline:
         if isinstance(preset, str):
             preset = get_preset(preset)
         config = config or StreamConfig(model_preset=preset.name)
-        like_t = _jax.eval_shape(
-            lambda: tfm.init(_jax.random.PRNGKey(0), preset.model)
-        )
         like_v = _jax.eval_shape(
             lambda: vae_mod.init(_jax.random.PRNGKey(0), preset.vae)
         )
-        # Detect the saved qkv layout from checkpoint metadata (no array
-        # reads) rather than catching restore exceptions, which vary by
-        # orbax version and failure mode.
+        # Detect the saved qkv layout AND quantization rung from checkpoint
+        # metadata (no array reads) rather than catching restore exceptions,
+        # which vary by orbax version and failure mode. Pre-quantized
+        # checkpoints (models.checkpoint convert --quantize) restore their
+        # int8/int4 leaves straight into the TP layout — no boot-time
+        # quantize pass, no transient bf16 residency.
         try:
-            fused_saved = "img_qkv" in ckpt.saved_keys(transformer_path)
+            keys_t = ckpt.saved_keys(transformer_path)
         except Exception:
-            fused_saved = False
+            keys_t = set()
+        fused_saved = "img_qkv" in keys_t
+        saved_bits = 4 if "w_q4" in keys_t else (8 if "w_q" in keys_t
+                                                 else None)
         from qwen_image_edit_streamdiffusion_tpu.models.optimize import (
             fuse_qkv,
         )
 
-        like_fused = _jax.eval_shape(fuse_qkv, like_t)
+        if lora_path and saved_bits:
+            raise ValueError(
+                "LoRA cannot be fused into a quantized checkpoint — fuse at "
+                "conversion time instead: models.checkpoint convert "
+                "--lora ... --quantize ..."
+            )
+
+        def _like_tfm(fused: bool):
+            def build():
+                p = tfm.init(_jax.random.PRNGKey(0), preset.model)
+                if fused:
+                    p = fuse_qkv(p)
+                if saved_bits:
+                    from qwen_image_edit_streamdiffusion_tpu.models.quantize import (  # noqa: E501
+                        quantize_transformer,
+                    )
+
+                    p = quantize_transformer(p, bits=saved_bits)
+                return p
+
+            return _jax.eval_shape(build)
+
+        like_t = _like_tfm(False)
+        like_fused = _like_tfm(True)
         first, second = (
             (like_fused, like_t) if fused_saved else (like_t, like_fused)
         )
@@ -252,7 +295,8 @@ class EditPipeline:
                 sharding as shd,
             )
 
-            tfm_spec_fn = shd.transformer_param_specs
+            def tfm_spec_fn(like, _sizes=dict(mesh.shape)):
+                return shd.transformer_param_specs(like, axis_sizes=_sizes)
 
             def vae_spec_fn(like):  # replicated
                 return _jax.tree_util.tree_map(lambda _: _PS(), like)
@@ -287,17 +331,26 @@ class EditPipeline:
             tfm_params = lora.fuse_lora(
                 tfm_params, lora.load_lora_weights(lora_path)
             )
-        if config.fuse_qkv and mesh is None:
-            from qwen_image_edit_streamdiffusion_tpu.models.optimize import fuse_qkv
-
+        if config.fuse_qkv and mesh is None and not (saved_bits or fused_saved):
+            # (a pre-quantized checkpoint is frozen in its saved layout —
+            # int8/int4 leaves cannot be re-fused; a pre-fused one needs no
+            # second pass)
             tfm_params = fuse_qkv(tfm_params)
         if config.use_int4 or config.use_int8:
-            from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
-                quantize_transformer,
-            )
+            want_bits = 4 if config.use_int4 else 8
+            if saved_bits is None:
+                from qwen_image_edit_streamdiffusion_tpu.models.quantize import (  # noqa: E501
+                    quantize_transformer,
+                )
 
-            tfm_params = quantize_transformer(
-                tfm_params, bits=4 if config.use_int4 else 8)
+                tfm_params = quantize_transformer(tfm_params, bits=want_bits)
+            elif saved_bits != want_bits:
+                import warnings
+
+                warnings.warn(
+                    f"config requests int{want_bits} but the checkpoint is "
+                    f"pre-quantized int{saved_bits}; serving the saved "
+                    f"int{saved_bits} rung", stacklevel=2)
         if mesh is not None:
             from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
@@ -309,17 +362,29 @@ class EditPipeline:
                 QwenVLEncoder,
             )
 
+            try:
+                keys_vl = ckpt.saved_keys(vl_path)
+            except Exception:
+                keys_vl = set()
+            vl_bits = 4 if "w_q4" in keys_vl else (8 if "w_q" in keys_vl
+                                                   else None)
             if mesh is not None:
                 # restore the 7B encoder straight into its mesh layout too
                 from qwen_image_edit_streamdiffusion_tpu.parallel import (
                     sharding as shd,
                 )
 
-                like_vl = _jax.eval_shape(
-                    lambda: qwen_vl._init_all(
-                        _jax.random.PRNGKey(0), preset.vl
-                    )
-                )
+                def _build_vl():
+                    p = qwen_vl._init_all(_jax.random.PRNGKey(0), preset.vl)
+                    if vl_bits:
+                        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (  # noqa: E501
+                            quantize_vl,
+                        )
+
+                        p = quantize_vl(p, bits=vl_bits)
+                    return p
+
+                like_vl = _jax.eval_shape(_build_vl)
                 vl_axes = shd._vl_axes(mesh)
                 vl_shardings = _shardings_for(
                     like_vl,

@@ -149,3 +149,77 @@ def test_from_checkpoint_restores_straight_into_tp_layout(tmp_path):
     img = imaging.make_test_image(64, 64, "circle")
     out = pipe(img, "stylize", num_inference_steps=1, seed=42)
     assert np.isfinite(np.asarray(out.images[0], np.float32)).all()
+
+
+def test_prequantized_checkpoint_restores_without_requantize(tmp_path,
+                                                             tiny_preset):
+    """A checkpoint saved pre-quantized (convert --quantize int8) must be
+    detected from metadata and restored as-is: quantized leaves present,
+    no fuse pass, output identical to quantizing the same bf16 params in
+    memory."""
+    from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+        quantize_transformer,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    cfg = TINY_STREAM.replace(fuse_qkv=False)
+    src = EditPipeline.create("tiny", config=cfg, seed=0)
+    qp = quantize_transformer(src.tfm_params)
+    tp, vp = str(tmp_path / "tq"), str(tmp_path / "v")
+    ckpt.save(tp, qp)
+    ckpt.save(vp, src.vae_params)
+
+    pipe = EditPipeline.from_checkpoint(tp, vp, preset="tiny", config=cfg)
+    attn = pipe.tfm_params["blocks"][0]["attn"]
+    assert "w_q" in attn["img_q"] and "w" not in attn["img_q"]
+
+    src.tfm_params = qp
+    src._jit_cache.clear()
+    img = imaging.make_test_image(64, 64, "circle")
+    a = src(img, "x", num_inference_steps=1, seed=42)
+    b = pipe(img, "x", num_inference_steps=1, seed=42)
+    np.testing.assert_array_equal(np.asarray(a.images[0]),
+                                  np.asarray(b.images[0]))
+
+
+def test_prequantized_int4_checkpoint_into_tp_mesh(tmp_path):
+    """The int4 deployment flow: a pre-quantized (int4) transformer AND a
+    pre-quantized (int8) VL encoder restore STRAIGHT into their mesh
+    layouts — packed w_q4 / scale4 leaves sharded, forward finite. Also
+    exercises the rung-mismatch warning (config says int8, ckpt is int4)."""
+    from qwen_image_edit_streamdiffusion_tpu.core import meshes
+    from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+        quantize_transformer,
+        quantize_vl,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    cfg = TINY_STREAM.replace(fuse_qkv=False, cfg_mode="parallel",
+                              mesh_cfg_axis=2, mesh_model_axis=4,
+                              use_int8=True, use_int8_vl=True)
+    src = EditPipeline.create("tiny",
+                              config=cfg.replace(use_int8=False,
+                                                 use_int8_vl=False), seed=0)
+    tp, vp, vl = str(tmp_path / "t4"), str(tmp_path / "v"), str(tmp_path / "l8")
+    ckpt.save(tp, quantize_transformer(src.tfm_params, bits=4))
+    ckpt.save(vp, src.vae_params)
+    ckpt.save(vl, jax.tree_util.tree_map(
+        np.asarray, quantize_vl(src.encoder.params, bits=8)))
+
+    mesh = meshes.make_mesh(cfg_axis=2, model_axis=4)
+    with pytest.warns(UserWarning, match="pre-quantized int4"):
+        pipe = EditPipeline.from_checkpoint(tp, vp, preset="tiny",
+                                            config=cfg, vl_path=vl,
+                                            mesh=mesh)
+    leaf = pipe.tfm_params["blocks"][0]["attn"]["img_q"]
+    assert "w_q4" in leaf
+    assert len(leaf["w_q4"].sharding.device_set) == 8
+    assert "w_q" in pipe.encoder.params["lm"]["blocks"][0]["q_proj"]
+
+    img = imaging.make_test_image(64, 64, "circle")
+    out = pipe(img, "stylize", num_inference_steps=1, seed=42)
+    assert np.isfinite(np.asarray(out.images[0], np.float32)).all()

@@ -331,24 +331,29 @@ def test_vl_int8_sharding_specs(tiny_preset):
     assert blk["o_proj"]["scale"] == P()
 
 
-def test_int8_tp_forward_matches_single_device(tiny):
-    """int8 weight quantization composes with TP sharding (the reference's
-    combined parallel_cfg_int8 configuration, README.md:129-130): the
-    quantized leaves (w_q int8 + per-channel scale) shard per the megatron
-    rules and the sharded forward matches the single-device int8 forward."""
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_tp_forward_matches_single_device(tiny, bits):
+    """int8/int4 weight quantization composes with TP sharding (the
+    reference's combined parallel_cfg_int8 configuration,
+    README.md:129-130): the quantized leaves (w_q+scale / packed
+    w_q4+scale4) shard per the megatron rules — with the even-tiling guard
+    replicating any leaf dim the model axis doesn't divide (int4's
+    (in/64, out) scale4 at tiny scale) — and the sharded forward matches
+    the single-device quantized forward."""
     from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
         quantize_transformer,
     )
 
     cfg, params = tiny
-    qparams = quantize_transformer(params)
+    qparams = quantize_transformer(params, bits=bits)
     img, txt, t, ropes = _forward(cfg, qparams)
     ref = tfm.forward(qparams, cfg, img, txt, t, ropes, use_flash=False)
 
     mesh = meshes.make_mesh(cfg_axis=1, model_axis=8)
     sharded = sharding.shard_transformer_params(qparams, mesh)
-    wq = sharded["blocks"][0]["attn"]["img_q"]["w_q"]
-    assert wq.dtype == jnp.int8
+    key = "w_q" if bits == 8 else "w_q4"
+    wq = sharded["blocks"][0]["attn"]["img_q"][key]
+    assert wq.dtype == (jnp.int8 if bits == 8 else jnp.uint8)
     assert len(wq.sharding.device_set) == 8
     assert wq.sharding.shard_shape(wq.shape)[1] == wq.shape[1] // 8
 
