@@ -75,6 +75,13 @@ def main(argv=None):
     ap.add_argument("--bf16-scores", action="store_true",
                     help="resident kernel with bf16 score domain "
                     "(QIE_FLASH_BF16_SCORES candidate)")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable the software-pipelined unmasked bulk "
+                    "(A/B for QIE_FLASH_PIPELINE)")
+    ap.add_argument("--bq", type=int, help="restrict sweep to one block_q")
+    ap.add_argument("--bk", type=int, help="restrict sweep to one block_k")
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="skip the XLA reference timing")
     args = ap.parse_args(argv)
 
     shape = (args.b, args.heads, args.l, args.d)
@@ -89,16 +96,18 @@ def main(argv=None):
     print(f"shape B{args.b} H{args.heads} L{args.l} D{args.d} "
           f"({flops / 1e9:.1f} GFLOP/layer) device={jax.devices()[0]}")
 
-    ms = _time_fn(xla_attention, q, k, v, args.iters)
-    print(f"  {'XLA reference':<24} {ms:7.2f} ms  "
-          f"{flops / ms / 1e9:6.1f} TF/s")
+    if not args.skip_xla:
+        ms = _time_fn(xla_attention, q, k, v, args.iters)
+        print(f"  {'XLA reference':<24} {ms:7.2f} ms  "
+              f"{flops / ms / 1e9:6.1f} TF/s")
 
-    for bq in (256, 512, 1024):
-        for bk in (256, 512, 1024, 2048):
+    for bq in ((args.bq,) if args.bq else (256, 512, 1024)):
+        for bk in ((args.bk,) if args.bk else (256, 512, 1024, 2048)):
             fn = functools.partial(
                 fa.flash_attention, kv_mask=mask, block_q=bq, block_k=bk,
                 mask_len=args.mask_len, stream=args.stream or None,
                 bf16_scores=args.bf16_scores or None,
+                pipelined=False if args.no_pipeline else None,
             )
             try:
                 ms = _time_fn(fn, q, k, v, args.iters)

@@ -41,7 +41,7 @@ DEFAULT_BLOCK_K = 512
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
                   num_heads, n_masked_lo, n_unmasked_hi,
-                  score_dtype=jnp.float32):
+                  score_dtype=jnp.float32, pipelined=False):
     """One (batch·head, q-block) program: online softmax over k blocks.
 
     q_ref: (1, bq, D); k_ref/v_ref: (1, Lk, D); o_ref: (1, bq, D);
@@ -79,16 +79,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
     # back so the QK^T dot is a bf16 MXU pass
     q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
 
+    def dot_qk(j):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, D)
+        return jax.lax.dot_general(
+            q, k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(score_dtype)  # (bq, bk) score_dtype
+
+    def consume(s, j, acc, m, l):
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # exp2 at the VALUE precision (p multiplies bf16 V anyway, and
+        # was cast to it before the dot regardless): for bf16 inputs
+        # this halves the vregs through the transcendental + sum —
+        # the kernel's VPU bottleneck. f32 inputs keep exact math.
+        p = jnp.exp2((s - m_new).astype(v_blk.dtype))  # (bq, bk)
+        alpha = jnp.exp2((m - m_new).astype(jnp.float32))  # (bq, 1)
+        l_new = l * alpha + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
     def make_body(masked):
         def body(j, carry):
             acc, m, l = carry
-            k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, D)
-            v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
-            s = jax.lax.dot_general(
-                q, k_blk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(score_dtype)  # (bq, bk) score_dtype
+            s = dot_qk(j)
             if masked:
                 # int8 sublane loads can't use a dynamic row index (Mosaic
                 # needs a provable multiple-of-4); load all B rows and
@@ -104,23 +125,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
                 )  # (bk,)
                 s = jnp.where(mask_blk[None, :] != 0, s,
                               jnp.asarray(_NEG_INF, score_dtype))
-
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            # exp2 at the VALUE precision (p multiplies bf16 V anyway, and
-            # was cast to it before the dot regardless): for bf16 inputs
-            # this halves the vregs through the transcendental + sum —
-            # the kernel's VPU bottleneck. f32 inputs keep exact math.
-            p = jnp.exp2((s - m_new).astype(v_blk.dtype))  # (bq, bk)
-            alpha = jnp.exp2((m - m_new).astype(jnp.float32))  # (bq, 1)
-            l_new = l * alpha + jnp.sum(
-                p, axis=-1, keepdims=True, dtype=jnp.float32
-            )
-            acc_new = acc * alpha + jax.lax.dot_general(
-                p, v_blk,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return acc_new, m_new, l_new
+            return consume(s, j, acc, m, l)
 
         return body
 
@@ -129,13 +134,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k,
         jnp.full((bq, 1), _NEG_INF, score_dtype),
         jnp.zeros((bq, 1), jnp.float32),
     )
-    carry = jax.lax.fori_loop(0, n_masked_lo, make_body(True), carry)
-    carry = jax.lax.fori_loop(
-        n_masked_lo, max(n_masked_lo, n_unmasked_hi), make_body(False), carry
-    )
-    carry = jax.lax.fori_loop(
-        max(n_masked_lo, n_unmasked_hi), nk, make_body(True), carry
-    )
+    lo, hi = n_masked_lo, max(n_masked_lo, n_unmasked_hi)
+    carry = jax.lax.fori_loop(0, lo, make_body(True), carry)
+    if pipelined and hi - lo >= 2:
+        # Software-pipelined steady state over the unmasked bulk: block
+        # j+1's QK^T dot (MXU, depends only on q/K) issues BEFORE block j's
+        # softmax chain (VPU, depends on the carried running max) — the
+        # two have no data dependence, so Mosaic can overlap the next dot
+        # with the current max/exp2/sum instead of serializing MXU and VPU
+        # each iteration (the ~2x gap in the denoise-loop roofline).
+        def body_p(j, c):
+            acc, m, l, s_cur = c
+            s_next = dot_qk(j + 1)
+            acc, m, l = consume(s_cur, j, acc, m, l)
+            return acc, m, l, s_next
+
+        acc, m, l, s_last = jax.lax.fori_loop(
+            lo, hi - 1, body_p, (*carry, dot_qk(lo))
+        )
+        carry = consume(s_last, hi - 1, acc, m, l)
+    else:
+        carry = jax.lax.fori_loop(lo, hi, make_body(False), carry)
+    carry = jax.lax.fori_loop(hi, nk, make_body(True), carry)
     acc, m, l = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -360,12 +380,21 @@ def _flash_kernel_hbm(q_ref, k_hbm, v_hbm, mask_ref, o_ref,
 # bf16 scores, which halve the remaining f32 VPU traffic (max/sub) per
 # score element — read once at import so jit caching stays coherent
 _BF16_SCORES = os.environ.get("QIE_FLASH_BF16_SCORES", "") == "1"
+# software-pipelined unmasked bulk (next block's QK^T issued ahead of the
+# current softmax chain, exposing MXU/VPU overlap to the compiler).
+# MEASURED SLOWER on v5e at L=8704: 6.0-7.7 ms across block configs vs
+# 5.1 ms serial — Mosaic does not schedule the independent dot against the
+# VPU chain, and the loop-carried (bq, bk) f32 score block adds vreg/VMEM
+# pressure instead. Kept as a flag because it is the natural next
+# experiment anyone profiling this kernel would reach for; the measured
+# answer is "no" (see CLAUDE.md denoise-loop roofline).
+_PIPELINE = os.environ.get("QIE_FLASH_PIPELINE", "0") == "1"
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "mask_len", "stream",
-                     "causal", "bf16_scores"),
+                     "causal", "bf16_scores", "pipelined"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -379,6 +408,7 @@ def flash_attention(
     stream: Optional[bool] = None,
     causal: bool = False,
     bf16_scores: Optional[bool] = None,
+    pipelined: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q: (B, H, Lq, D); k,v: (B, Hkv, Lk, D) with H % Hkv == 0 (GQA — the
     kernel maps each q head onto its shared kv head via the BlockSpec index
@@ -397,7 +427,11 @@ def flash_attention(
     defaults (512/512 resident, 512/1024 streaming). bf16_scores: bf16
     QK^T scores + bf16 online max/sub in every kernel variant (None = the
     QIE_FLASH_BF16_SCORES env default; ~1.6e-3 extra max-err, inside bf16
-    output resolution; only applies to bf16 inputs).
+    output resolution; only applies to bf16 inputs). pipelined: software-
+    pipeline the resident kernel's unmasked bulk — block j+1's QK^T dot
+    issues before block j's softmax chain (exact same math, reordered;
+    None = QIE_FLASH_PIPELINE env, default OFF — measured slower on v5e,
+    see the module-level note).
     Returns (B, H, Lq, D) in q's dtype.
     """
     b, h, lq, d = q.shape
@@ -431,6 +465,7 @@ def flash_attention(
     use_bf16 = _BF16_SCORES if bf16_scores is None else bf16_scores
     score_dtype = (jnp.bfloat16 if use_bf16 and q.dtype == jnp.bfloat16
                    else jnp.float32)
+    use_pipe = _PIPELINE if pipelined is None else pipelined
     cost = pl.CostEstimate(
         flops=4 * b * h * lq_p * lk_p * d,
         bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
@@ -480,7 +515,7 @@ def flash_attention(
             functools.partial(_flash_kernel, scale=scale, block_k=bk,
                               num_heads=h, n_masked_lo=n_masked_lo,
                               n_unmasked_hi=n_unmasked_hi,
-                              score_dtype=score_dtype),
+                              score_dtype=score_dtype, pipelined=use_pipe),
             out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
             grid=(b * h, lq_p // bq),
             in_specs=[

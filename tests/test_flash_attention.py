@@ -291,3 +291,20 @@ def test_fallback_warns_once():
         am._warn_fallback_once(q)
         am._warn_fallback_once(q)
     assert len(w) == 1 and "flash attention unsupported" in str(w[0].message)
+
+
+@pytest.mark.parametrize("pipelined", [True, False])
+def test_pipelined_bulk_matches_reference(pipelined):
+    """Software-pipelined unmasked bulk (QIE_FLASH_PIPELINE): block j+1's
+    QK^T issues before block j's softmax chain — exact same math,
+    reordered. Masked text prefix + block-padding tail force all three
+    loop ranges (masked lo / pipelined bulk / masked hi)."""
+    b, h, lq, lk, d = 1, 2, 256, 1000, 128  # lk pads to 1024 → masked tail
+    q, k, v = _qkv(b, h, lq, lk, d, seed=5)
+    mask = jnp.asarray(np.arange(lk)[None, :] >= 64).repeat(b, 0)
+    ref = reference_attention(q, k, v, kv_mask=mask)
+    out = flash_attention(q, k, v, kv_mask=mask, mask_len=128,
+                          interpret=True, block_q=128, block_k=128,
+                          pipelined=pipelined)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
