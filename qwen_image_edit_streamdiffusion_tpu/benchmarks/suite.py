@@ -165,6 +165,39 @@ def bench_quantized(args):
                label=f"int{bits}")
 
 
+def bench_variations(args):
+    """num_images_per_prompt amortization: N seed variations share ONE VL
+    prompt encode + condition VAE encode + device round-trip/fetch (the
+    upstream batch arg; the reference generates variations by re-POSTing
+    N full requests). A distinct image AND prompt per request makes every
+    run a cache miss, so the per-image number shows the fixed stages
+    amortizing across the batch."""
+    from PIL import ImageDraw
+
+    pipe = _mk_pipe(args)
+    base = imaging.make_test_image(args.size, args.size, "gradient")
+
+    def mk_img(i):
+        im = base.copy()
+        d = ImageDraw.Draw(im)
+        x = 10 + 13 * (i % 30)
+        d.rectangle([x, x, x + 40, x + 40],
+                    fill=(200, (30 + 20 * i) % 255, 60))
+        return im
+
+    count = 0
+    for n in (1, 2, 4):
+        def run():
+            nonlocal count
+            count += 1
+            return pipe(mk_img(count), f"variation bench {count}",
+                        num_inference_steps=args.steps, seed=7,
+                        num_images_per_prompt=n)
+
+        ts = _timed(run, args.runs, label=f"n={n}")
+        print(f"    per image: {np.mean(ts) / n:.3f}s")
+
+
 def bench_compiled(args):
     """Cold-compile vs warm-cache latency (the jit analog of
     torch.compile benchmarking)."""
@@ -530,6 +563,7 @@ BENCHES = {
     "minimal": bench_minimal,
     "device_speed": bench_device_speed,
     "quantized": bench_quantized,
+    "variations": bench_variations,
     "compiled": bench_compiled,
     "optimizations": bench_optimizations,
     "lightning": bench_lightning,

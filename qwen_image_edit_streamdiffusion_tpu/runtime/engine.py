@@ -219,6 +219,11 @@ class InferenceEngine:
             # dump — mean "use the default", same as an absent key)
             cfg_scale = request.get("cfg_scale")
             seed = request.get("seed")
+            # num_images: N seed variations in one denoise dispatch
+            # (pipeline num_images_per_prompt); the wire stays
+            # reference-compatible — "image" is always variation 0, the
+            # rest ride in an additive "images" list.
+            n_out = max(1, min(int(request.get("num_images") or 1), 8))
             result = self.pipeline(
                 [img] + extra_images,
                 prompt,
@@ -228,15 +233,20 @@ class InferenceEngine:
                 true_cfg_scale=(None if cfg_scale is None
                                 else float(cfg_scale)),
                 seed=42 if seed is None else int(seed),
+                num_images_per_prompt=n_out,
             )
             elapsed = time.time() - start
             self.total_requests += 1
             self.last_elapsed = elapsed
-            return {
+            resp = {
                 "image": imaging.pil_to_base64(result.images[0]),
                 "elapsed": elapsed,
                 "status": "success",
             }
+            if n_out > 1:
+                resp["images"] = [imaging.pil_to_base64(im)
+                                  for im in result.images]
+            return resp
         finally:
             self._lock.release()
 

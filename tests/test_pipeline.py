@@ -243,3 +243,22 @@ def test_int4_fallback_to_int8_on_odd_dims():
     w = {"down": {"w": jax.random.normal(jax.random.PRNGKey(0), (60, 32))}}
     q = quantize.quantize_vl(w, bits=4)
     assert "w_q" in q["down"] and "w_q4" not in q["down"]
+
+
+def test_num_images_per_prompt(pipe, test_img):
+    """Upstream-parity batch arg: N variations of one edit in a single
+    denoise dispatch — per-row noise, shared conditioning; rows differ,
+    all finite; composes with true CFG (2N batched rows)."""
+    res = pipe(test_img, "stylize", num_inference_steps=1, seed=3,
+               num_images_per_prompt=3)
+    assert len(res.images) == 3
+    arrs = [np.asarray(im, np.int16) for im in res.images]
+    assert all(np.isfinite(a).all() for a in arrs)
+    assert np.abs(arrs[0] - arrs[1]).max() > 0  # different noise rows
+    assert res.latents.shape[0] == 3
+
+    cfg = pipe(test_img, "stylize", negative_prompt="ugly",
+               true_cfg_scale=4.0, num_inference_steps=1, seed=3,
+               num_images_per_prompt=2)
+    assert len(cfg.images) == 2
+    assert np.isfinite(np.asarray(cfg.images[0], np.float32)).all()

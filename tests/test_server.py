@@ -316,3 +316,31 @@ def test_edit_request_extensions_seed_negative_cfgscale(server_url):
     # custom negative prompt + scale run the CFG path without error
     run({"use_cfg": True, "negative_prompt": "blurry, low quality",
          "cfg_scale": 3.0})
+
+
+def test_edit_num_images(server_url):
+    """num_images=N returns N variations in one denoise dispatch: the
+    reference-compatible "image" field stays variation 0 and the extras
+    ride in an additive "images" list (absent at N=1)."""
+    url, _ = server_url
+    img = imaging.make_test_image(64, 64, "circle")
+    code, body = _post(url + "/edit", {
+        "image": imaging.pil_to_base64(img),
+        "prompt": "oil painting",
+        "steps": 1,
+        "num_images": 2,
+    })
+    assert code == 200, body
+    assert body["status"] == "success"
+    assert len(body["images"]) == 2
+    assert body["images"][0] == body["image"]
+    a, b = (np.asarray(imaging.base64_to_pil(x), np.int16)
+            for x in body["images"])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0
+
+    code, single = _post(url + "/edit", {
+        "image": imaging.pil_to_base64(img),
+        "prompt": "oil painting", "steps": 1,
+    })
+    assert code == 200 and "images" not in single
