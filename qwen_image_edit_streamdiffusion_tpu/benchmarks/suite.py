@@ -465,6 +465,7 @@ def bench_serve(args):
             return time.time() - t0
 
         n = max(10, args.runs)
+        p50_fast = None
         for mode, extra in (("fast", {}), ("cfg", {"use_cfg": True})):
             ts = []
             first = None
@@ -490,6 +491,8 @@ def bench_serve(args):
                     ts.append(dt)
             ts.sort()
             p50 = statistics.median(ts)
+            if mode == "fast":
+                p50_fast = p50
             # ceil-index quantile; with n=10 this is the 2nd-worst sample,
             # not the max
             p90 = ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]
@@ -551,6 +554,75 @@ def bench_serve(args):
               f"({1.0 / p50:.1f} fps)  "
               f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
               f"(n={len(ts)}, lag-1 responses)")
+
+        # cross-request dynamic batching (--dynamic-batch K): K concurrent
+        # clients with distinct images+prompts; queued compatible requests
+        # coalesce into one denoise dispatch (the reference 429-rejects
+        # this load, server.py:190-194). Throughput vs the 1-client floor.
+        if getattr(args, "dynamic_batch", 0) > 1:
+            k = args.dynamic_batch
+            engine.dynamic_batch = k
+
+            def mk_body(i, j):
+                arr = np.asarray(
+                    imaging.make_test_image(512, 512, "gradient")).copy()
+                arr[:16, :16] = ((i * 37) % 255, (j * 53) % 255, 99)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, "JPEG", quality=90)
+                return {"image": base64.b64encode(buf.getvalue()).decode(),
+                        "prompt": f"dynamic batch client {i} frame {j}",
+                        "steps": args.steps}
+
+            def post_resp(body):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/edit",
+                    json.dumps(body).encode(),
+                    {"Content-Type": "application/json"},
+                )
+                resp = json.loads(
+                    urllib.request.urlopen(req, timeout=600).read())
+                assert resp["status"] == "success", resp
+                return resp
+
+            # one synchronized volley compiles the coalesced-rows bucket
+            bar = threading.Barrier(k)
+
+            def warm(i):
+                bar.wait()
+                post_resp(mk_body(i, 0))
+
+            ths = [threading.Thread(target=warm, args=(i,))
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+
+            m = max(3, args.runs)
+            lats, rows = [], []
+
+            def client(i):
+                for j in range(1, m + 1):
+                    t0 = time.time()
+                    resp = post_resp(mk_body(i, j))
+                    lats.append(time.time() - t0)
+                    rows.append(resp.get("batched_with", 1))
+
+            t0 = time.time()
+            ths = [threading.Thread(target=client, args=(i,))
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            wall = time.time() - t0
+            lats.sort()
+            print(f"  /edit dynamic-batch {k} clients: "
+                  f"{k * m / wall:.2f} req/s "
+                  f"(1-client fast floor {1.0 / p50_fast:.2f}), "
+                  f"p50 latency {statistics.median(lats):.3f}s, "
+                  f"mean rows/dispatch {statistics.mean(rows):.1f}")
+            engine.dynamic_batch = 0
     finally:
         srv.shutdown()
 
@@ -592,6 +664,10 @@ def main(argv=None):
                         os.environ.get("QIE_SIZE", "512"))))
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--dynamic-batch", type=int, default=0,
+                    help="serve: also measure K concurrent clients with "
+                    "cross-request dynamic batching (engine coalesces "
+                    "compatible queued requests into one dispatch)")
     ap.add_argument("--preview-scale", type=int, default=1,
                     help="stream/realtime hybrid resolution: temporal "
                     "frames run at size/s and upscale host-side; keyframes "

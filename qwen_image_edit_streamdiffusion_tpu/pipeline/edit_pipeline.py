@@ -853,6 +853,144 @@ class EditPipeline:
             images=out_images, latents=latents, elapsed=time.time() - t_start
         )
 
+    def edit_many(
+        self,
+        items: Sequence[Dict[str, Any]],
+        num_inference_steps: Optional[int] = None,
+        true_cfg_scale: Optional[float] = None,
+    ) -> List[EditResult]:
+        """Serve several compatible edit requests in ONE denoise dispatch
+        (cross-request continuous batching — a serving capability the
+        reference's single-flight design rejects outright with HTTP 429,
+        reference server.py:190-194). Per-row conditioning: each item
+        carries its own prompt embeddings, condition latents and seeded
+        noise; only the compiled graph is shared, so results match the
+        item's individual :meth:`__call__` row-for-row.
+
+        Items are dicts with ``image`` (PIL or [PIL...]), ``prompt``, and
+        optional ``negative_prompt``/``seed``/``num_images``/``height``/
+        ``width``. All items must share output size, condition-image
+        geometry and CFG-ness (the engine groups requests by this key
+        before calling); steps and cfg scale are shared arguments. Total
+        rows are padded up to a {1, 2, 4, 8, 16} bucket — padded rows cost
+        denoise FLOPs only, never decode work or tunnel bytes — so the
+        compiled-graph set stays bounded."""
+        t_start = time.time()
+        steps = num_inference_steps or self.config.num_inference_steps
+        cfg_scale = (true_cfg_scale if true_cfg_scale is not None
+                     else self.config.true_cfg_scale)
+        encode_prompt = (self.prompt_cache.encode if self.prompt_cache
+                         else self.encoder.encode)
+        mdt = jnp.dtype(self.preset.model.dtype)
+
+        prepped = []
+        geom = None
+        for it in items:
+            image = it["image"]
+            images = ([image] if isinstance(image, Image.Image)
+                      else list(image))
+            negative_prompt = it.get("negative_prompt")
+            do_cfg = negative_prompt is not None and cfg_scale > 1.0
+            out_h, out_w, vae_images, vl_images = self._prepare_images(
+                images, it.get("height"), it.get("width"))
+            emb = encode_prompt(it["prompt"], vl_images)
+            txt = jnp.asarray(emb.embeds, mdt)[None]
+            mask = jnp.asarray(emb.mask)[None]
+            if do_cfg:
+                neg = encode_prompt(negative_prompt, vl_images)
+                neg_txt = jnp.asarray(neg.embeds, mdt)[None]
+                neg_mask = jnp.asarray(neg.mask)[None]
+            else:
+                neg_txt, neg_mask = txt, mask
+            if self.latent_cache is not None:
+                cond_tokens, cond_shapes = self.latent_cache.get_or_encode(
+                    vae_images, self.encode_condition_latents)
+            else:
+                cond_tokens, cond_shapes = self.encode_condition_latents(
+                    vae_images)
+            g = (out_h, out_w, tuple(cond_shapes), do_cfg)
+            if geom is None:
+                geom = g
+            elif g != geom:
+                raise ValueError(
+                    "edit_many items must share output size, condition "
+                    f"geometry and CFG-ness: {g} != {geom}")
+            n_i = max(1, int(it.get("num_images", 1)))
+            prepped.append((txt, mask, neg_txt, neg_mask, cond_tokens,
+                            it.get("seed"), n_i))
+
+        out_h, out_w, cond_shapes, do_cfg = geom
+        cfg_mode = self.config.cfg_mode if do_cfg else "none"
+        zh, zw = out_h // 8, out_w // 8
+
+        # One shared txt bucket across the batch. Lengths are already
+        # 128-bucketed by the encoder, so the max is itself a bucket
+        # length and the denoise graph is shared with single-request
+        # traffic at the same row count.
+        txt_len = max(max(p[0].shape[1], p[2].shape[1]) for p in prepped)
+
+        def _pad(a, fill=0):
+            if a.shape[1] == txt_len:
+                return a
+            pad = [(0, 0), (0, txt_len - a.shape[1])] + [
+                (0, 0)
+            ] * (a.ndim - 2)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        rows = {k: [] for k in ("x0", "cond", "txt", "mask", "ntxt",
+                                "nmask")}
+        for txt, mask, neg_txt, neg_mask, cond_tokens, seed, n_i in prepped:
+            seed = self.config.seed if seed is None else seed
+            x0 = self._noise_fn(
+                (n_i, zh, zw, self.preset.vae.latent_channels)
+            )(stream(key_from_seed(seed), "latents"))
+            rows["x0"].append(x0)
+
+            def tile(a):
+                return jnp.tile(a, (n_i,) + (1,) * (a.ndim - 1))
+
+            rows["cond"].append(tile(cond_tokens))
+            rows["txt"].append(tile(_pad(txt)))
+            rows["mask"].append(tile(_pad(mask, False)))
+            rows["ntxt"].append(tile(_pad(neg_txt)))
+            rows["nmask"].append(tile(_pad(neg_mask, False)))
+
+        cat = {k: jnp.concatenate(v, axis=0) if len(v) > 1 else v[0]
+               for k, v in rows.items()}
+        r_real = cat["x0"].shape[0]
+        r_bucket = next((b for b in (1, 2, 4, 8, 16) if b >= r_real),
+                        r_real)
+        if r_bucket != r_real:
+            reps = r_bucket - r_real
+            cat = {k: jnp.concatenate([v] + [v[-1:]] * reps, axis=0)
+                   for k, v in cat.items()}
+
+        img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
+        run = self._denoise_fn(
+            batch=r_bucket, img_shapes=img_shapes, txt_len=txt_len,
+            num_steps=steps, cfg_mode=cfg_mode,
+        )
+        final = run(self.tfm_params, cat["x0"], cat["cond"], cat["txt"],
+                    cat["mask"], cat["ntxt"], cat["nmask"],
+                    jnp.float32(cfg_scale))
+        final = final[:r_real]
+        pixels, latents = self._vae_decode_fn((zh, zw))(
+            self.vae_params, final
+        )
+        out_images = self._fetch_images(pixels)
+
+        results = []
+        row = 0
+        elapsed = time.time() - t_start
+        for (_, _, _, _, _, _, n_i) in prepped:
+            results.append(EditResult(
+                images=out_images[row:row + n_i],
+                latents=latents[row:row + n_i],
+                elapsed=elapsed,
+            ))
+            row += n_i
+        return results
+
     # ------------------------------------------------------------------
 
     def warmup(self, height: Optional[int] = None, width: Optional[int] = None,

@@ -36,6 +36,21 @@ class ModelNotLoaded(Exception):
     """Pipeline not constructed yet (HTTP 503)."""
 
 
+class _Pending:
+    """A parsed edit request waiting to be coalesced into a batched
+    dispatch (dynamic batching; see InferenceEngine._edit_dynamic)."""
+
+    __slots__ = ("item", "key", "start", "event", "result", "error")
+
+    def __init__(self, item: Dict[str, Any], key: tuple, start: float):
+        self.item = item
+        self.key = key
+        self.start = start
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, Any]] = None
+        self.error: Optional[BaseException] = None
+
+
 @dataclass
 class InferenceEngine:
     pipeline: Optional[Any] = None  # EditPipeline
@@ -58,6 +73,16 @@ class InferenceEngine:
     # False (reference parity): concurrent requests get 429. True: requests
     # queue on the lock and run serially (set via QIE_QUEUE=1 in serving).
     queue_requests: bool = False
+    # >1 enables cross-request continuous batching: requests that arrive
+    # while the device is busy queue, and compatible ones (same steps /
+    # CFG-ness / cfg scale / condition-image count) coalesce into ONE
+    # denoise dispatch of up to this many rows when the device frees —
+    # leader/follower with no added timer, the batching window is exactly
+    # the previous dispatch's duration. Implies queue semantics (no 429
+    # for plain edits). Server: --dynamic-batch / QIE_DYNAMIC_BATCH.
+    dynamic_batch: int = 0
+    _batch_queue: list = field(default_factory=list)
+    _bq_lock: threading.Lock = field(default_factory=threading.Lock)
     # Bounded table of temporal-latent stream sessions (requests carrying a
     # `stream_session` id — see _edit_stream). LRU-evicted beyond this.
     max_stream_sessions: int = 4
@@ -80,6 +105,7 @@ class InferenceEngine:
         warmup_cfg: Optional[bool] = None,
         warmup_stream: Optional[bool] = None,
         input_size: Optional[int] = None,
+        dynamic_batch: Optional[int] = None,
         transformer_path: Optional[str] = None,
         vae_path: Optional[str] = None,
         vl_path: Optional[str] = None,
@@ -114,10 +140,12 @@ class InferenceEngine:
             warmup_stream = os.environ.get("QIE_WARMUP_STREAM", "0") == "1"
         if input_size is None:
             input_size = int(os.environ.get("QIE_INPUT_SIZE", "512"))
+        if dynamic_batch is None:
+            dynamic_batch = int(os.environ.get("QIE_DYNAMIC_BATCH", "0"))
         eng = cls(pipeline=pipe,
                   default_steps=pipe.config.num_inference_steps,
                   warmup_cfg=warmup_cfg, warmup_stream=warmup_stream,
-                  input_size=input_size)
+                  input_size=input_size, dynamic_batch=dynamic_batch)
         if warmup_runs:
             eng.warmup(runs=warmup_runs)
         return eng
@@ -173,6 +201,8 @@ class InferenceEngine:
         """
         if self.pipeline is None:
             raise ModelNotLoaded("Model not loaded")
+        if self.dynamic_batch > 1 and not request.get("stream_session"):
+            return self._edit_dynamic(request)
         if not self._lock.acquire(blocking=self.queue_requests):
             raise EngineBusy("Server is busy processing another request")
         try:
@@ -180,75 +210,157 @@ class InferenceEngine:
             sid = request.get("stream_session")
             if sid:
                 return self._edit_stream(str(sid), request, start)
-            img = imaging.base64_to_pil(request["image"])
-            prompt = request.get("prompt", "Transform into oil painting style")
-            steps = int(request.get("steps", self.default_steps))
-            use_cfg = bool(request.get("use_cfg", False))
-
-            s = self.input_size
-            extra_images = []
-            ref_b64 = request.get("ref_image")
-            if ref_b64:
-                ref_mode = request.get("ref_mode", "blend")
-                if ref_mode not in ("blend", "condition"):
-                    # loud 422, not a silent fall-through to blend: a typo
-                    # like "conditon" would otherwise produce a different
-                    # edit with HTTP 200
-                    raise InvalidRequest(
-                        f"ref_mode must be 'blend' or 'condition', "
-                        f"got {ref_mode!r}")
-                ref = imaging.base64_to_pil(ref_b64)
-                if ref_mode == "condition":
-                    extra_images = [imaging.resize(ref, s, s)]
-                else:
-                    img = imaging.blend(
-                        imaging.resize(img, s, s),
-                        imaging.resize(ref, s, s),
-                        float(request.get("blend_ratio", 0.5)),
-                    )
-
-            img = imaging.resize(img, s, s)
-
-            # CFG convention parity (server.py:135-153): use_cfg passes an
-            # empty negative prompt (engaging true CFG); fast mode is
-            # cond-only. Extensions beyond the reference wire: an explicit
-            # negative_prompt (honored only with use_cfg, like the upstream
-            # do_true_cfg gate), cfg_scale (true_cfg_scale), and seed
-            # (reference pins 42 server-side).
-            # (explicit-None request values — e.g. from the FastAPI model
-            # dump — mean "use the default", same as an absent key)
-            cfg_scale = request.get("cfg_scale")
-            seed = request.get("seed")
-            # num_images: N seed variations in one denoise dispatch
-            # (pipeline num_images_per_prompt); the wire stays
-            # reference-compatible — "image" is always variation 0, the
-            # rest ride in an additive "images" list.
-            n_out = max(1, min(int(request.get("num_images") or 1), 8))
+            item = self._parse_edit(request)
             result = self.pipeline(
-                [img] + extra_images,
-                prompt,
-                negative_prompt=(str(request.get("negative_prompt") or "")
-                                 if use_cfg else None),
-                num_inference_steps=steps,
-                true_cfg_scale=(None if cfg_scale is None
-                                else float(cfg_scale)),
-                seed=42 if seed is None else int(seed),
-                num_images_per_prompt=n_out,
+                item["image"],
+                item["prompt"],
+                negative_prompt=item["negative_prompt"],
+                num_inference_steps=item["num_inference_steps"],
+                true_cfg_scale=item["true_cfg_scale"],
+                seed=item["seed"],
+                num_images_per_prompt=item["num_images"],
             )
-            elapsed = time.time() - start
-            self.total_requests += 1
-            self.last_elapsed = elapsed
-            resp = {
-                "image": imaging.pil_to_base64(result.images[0]),
-                "elapsed": elapsed,
-                "status": "success",
-            }
-            if n_out > 1:
-                resp["images"] = [imaging.pil_to_base64(im)
-                                  for im in result.images]
-            return resp
+            return self._response(item, result, start)
         finally:
             self._lock.release()
+
+    def _parse_edit(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """Validate + normalize an /edit request into a pipeline item
+        (the dict shape EditPipeline.edit_many consumes).
+
+        CFG convention parity (server.py:135-153): use_cfg passes an
+        empty negative prompt (engaging true CFG); fast mode is
+        cond-only. Extensions beyond the reference wire: an explicit
+        negative_prompt (honored only with use_cfg, like the upstream
+        do_true_cfg gate), cfg_scale (true_cfg_scale), seed (reference
+        pins 42 server-side), and num_images (N seed variations in one
+        denoise dispatch — "image" stays variation 0 on the wire, the
+        rest ride in an additive "images" list). Explicit-None request
+        values — e.g. from the FastAPI model dump — mean "use the
+        default", same as an absent key."""
+        img = imaging.base64_to_pil(request["image"])
+        prompt = request.get("prompt", "Transform into oil painting style")
+        steps = int(request.get("steps", self.default_steps))
+        use_cfg = bool(request.get("use_cfg", False))
+
+        s = self.input_size
+        extra_images = []
+        ref_b64 = request.get("ref_image")
+        if ref_b64:
+            ref_mode = request.get("ref_mode", "blend")
+            if ref_mode not in ("blend", "condition"):
+                # loud 422, not a silent fall-through to blend: a typo
+                # like "conditon" would otherwise produce a different
+                # edit with HTTP 200
+                raise InvalidRequest(
+                    f"ref_mode must be 'blend' or 'condition', "
+                    f"got {ref_mode!r}")
+            ref = imaging.base64_to_pil(ref_b64)
+            if ref_mode == "condition":
+                extra_images = [imaging.resize(ref, s, s)]
+            else:
+                img = imaging.blend(
+                    imaging.resize(img, s, s),
+                    imaging.resize(ref, s, s),
+                    float(request.get("blend_ratio", 0.5)),
+                )
+
+        img = imaging.resize(img, s, s)
+        cfg_scale = request.get("cfg_scale")
+        seed = request.get("seed")
+        return {
+            "image": [img] + extra_images,
+            "prompt": prompt,
+            "negative_prompt": (str(request.get("negative_prompt") or "")
+                                if use_cfg else None),
+            "num_inference_steps": steps,
+            "true_cfg_scale": (None if cfg_scale is None
+                               else float(cfg_scale)),
+            "seed": 42 if seed is None else int(seed),
+            "num_images": max(1, min(int(request.get("num_images") or 1),
+                                     8)),
+        }
+
+    def _response(self, item: Dict[str, Any], result: Any, start: float,
+                  batched_with: Optional[int] = None) -> Dict[str, Any]:
+        elapsed = time.time() - start
+        self.total_requests += 1
+        self.last_elapsed = elapsed
+        resp = {
+            "image": imaging.pil_to_base64(result.images[0]),
+            "elapsed": elapsed,
+            "status": "success",
+        }
+        if item["num_images"] > 1:
+            resp["images"] = [imaging.pil_to_base64(im)
+                              for im in result.images]
+        if batched_with is not None and batched_with > 1:
+            # additive extension field: how many requests shared the
+            # denoise dispatch (lets clients/benchmarks observe coalescing)
+            resp["batched_with"] = batched_with
+        return resp
+
+    def _edit_dynamic(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """Cross-request continuous batching (dynamic_batch > 1).
+
+        Leader/follower over the single device lock: every request parses
+        + validates up front, enqueues, then blocks on the lock. Whoever
+        holds the lock is the leader — it drains all queued requests with
+        a matching compatibility key (same steps, CFG-ness, cfg scale,
+        condition-image count; up to dynamic_batch total rows) and runs
+        them as ONE EditPipeline.edit_many dispatch, publishing each
+        result through the entry's event. A woken follower whose entry
+        was served returns immediately; one whose key didn't match the
+        previous leader's batch becomes the next leader. No timer: the
+        batching window is exactly the in-flight dispatch's duration, so
+        an idle server adds zero latency and a loaded one coalesces
+        automatically (throughput scales with MXU batch efficiency
+        instead of 429-rejecting, reference server.py:190-194)."""
+        start = time.time()
+        item = self._parse_edit(request)
+        key = (item["num_inference_steps"],
+               item["negative_prompt"] is not None,
+               item["true_cfg_scale"],
+               len(item["image"]))
+        entry = _Pending(item, key, start)
+        with self._bq_lock:
+            self._batch_queue.append(entry)
+        self._lock.acquire()
+        try:
+            if not entry.event.is_set():
+                with self._bq_lock:
+                    self._batch_queue.remove(entry)
+                    batch = [entry]
+                    rows = item["num_images"]
+                    for other in list(self._batch_queue):
+                        if rows >= self.dynamic_batch:
+                            break
+                        o_rows = other.item["num_images"]
+                        if (other.key == entry.key
+                                and rows + o_rows <= self.dynamic_batch):
+                            self._batch_queue.remove(other)
+                            batch.append(other)
+                            rows += o_rows
+                try:
+                    results = self.pipeline.edit_many(
+                        [e.item for e in batch],
+                        num_inference_steps=item["num_inference_steps"],
+                        true_cfg_scale=item["true_cfg_scale"],
+                    )
+                    for e, res in zip(batch, results):
+                        e.result = self._response(
+                            e.item, res, e.start, batched_with=len(batch))
+                except BaseException as exc:
+                    for e in batch:
+                        e.error = exc
+                finally:
+                    for e in batch:
+                        e.event.set()
+        finally:
+            self._lock.release()
+        if entry.error is not None:
+            raise entry.error
+        return entry.result
 
     def _edit_stream(self, sid: str, request: Dict[str, Any],
                      start: float) -> Dict[str, Any]:

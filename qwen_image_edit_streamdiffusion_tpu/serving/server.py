@@ -229,6 +229,13 @@ def main(argv=None):
                          "Residual CFG) pays steps+1; rcfg-self pays "
                          "cond-only price (virtual negative = the "
                          "unedited input)")
+    ap.add_argument("--dynamic-batch", type=int,
+                    default=int(os.environ.get("QIE_DYNAMIC_BATCH", "0")),
+                    help="max rows coalesced per denoise dispatch: "
+                         "concurrent compatible /edit requests batch into "
+                         "one device dispatch instead of 429-rejecting "
+                         "(cross-request continuous batching; 0 = off, "
+                         "reference single-flight semantics)")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--no-warmup-cfg", action="store_true",
                     help="skip compiling the use_cfg bucket at startup "
@@ -306,6 +313,7 @@ def main(argv=None):
         warmup_cfg=False if args.no_warmup_cfg else None,
         warmup_stream=args.warmup_stream or None,
         input_size=args.input_size,
+        dynamic_batch=args.dynamic_batch,
         mesh=mesh,
         transformer_path=args.transformer, vae_path=args.vae,
         vl_path=args.vl, lora_path=args.lora,

@@ -161,3 +161,94 @@ def test_engine_create_input_size_env(monkeypatch):
     e2 = InferenceEngine.create("tiny", config=TINY_STREAM, warmup_runs=0,
                                 warmup_cfg=False, input_size=128)
     assert e2.input_size == 128  # explicit arg wins
+
+
+def _wait_queue(engine, n, tries=2000):
+    import time
+
+    for _ in range(tries):
+        with engine._bq_lock:
+            if len(engine._batch_queue) >= n:
+                return True
+        time.sleep(0.005)
+    return False
+
+
+def test_dynamic_batching_coalesces_concurrent_requests():
+    """dynamic_batch>1: requests queued behind a busy device coalesce into
+    ONE edit_many dispatch (leader/follower). Deterministic: hold the
+    device lock while all three enqueue, then release — the first waker
+    leads the whole queue."""
+    import numpy as np
+
+    from qwen_image_edit_streamdiffusion_tpu.core.imaging import (
+        base64_to_pil,
+        make_test_image,
+        pil_to_base64,
+    )
+
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=1,
+                             dynamic_batch=4)
+    imgs = [pil_to_base64(make_test_image(64, 64, p))
+            for p in ("gray", "gradient", "circle")]
+
+    engine._lock.acquire()
+    results = {}
+
+    def worker(i):
+        results[i] = engine.edit(
+            {"image": imgs[i], "prompt": f"style {i}", "seed": i})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    assert _wait_queue(engine, 3)
+    engine._lock.release()
+    for t in threads:
+        t.join()
+
+    assert all(results[i]["status"] == "success" for i in range(3))
+    # all three shared one denoise dispatch
+    assert all(results[i]["batched_with"] == 3 for i in range(3))
+    assert engine.total_requests == 3
+    arrs = [np.asarray(base64_to_pil(results[i]["image"]), np.int16)
+            for i in range(3)]
+    assert np.abs(arrs[0] - arrs[1]).max() > 0  # per-row conditioning
+    assert np.abs(arrs[1] - arrs[2]).max() > 0
+
+
+def test_dynamic_batching_incompatible_keys_split():
+    """Requests with different compatibility keys (here: steps) never share
+    a dispatch — the mismatched follower becomes its own leader."""
+    from qwen_image_edit_streamdiffusion_tpu.core.imaging import (
+        make_test_image,
+        pil_to_base64,
+    )
+
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=1,
+                             dynamic_batch=4)
+    b64 = pil_to_base64(make_test_image(64, 64, "gray"))
+
+    engine._lock.acquire()
+    results = {}
+
+    def worker(i, steps):
+        results[i] = engine.edit({"image": b64, "steps": steps, "seed": i})
+
+    threads = [threading.Thread(target=worker, args=(0, 1)),
+               threading.Thread(target=worker, args=(1, 1)),
+               threading.Thread(target=worker, args=(2, 2))]
+    for t in threads:
+        t.start()
+    assert _wait_queue(engine, 3)
+    engine._lock.release()
+    for t in threads:
+        t.join()
+
+    assert all(results[i]["status"] == "success" for i in range(3))
+    assert results[0].get("batched_with") == 2
+    assert results[1].get("batched_with") == 2
+    assert "batched_with" not in results[2]  # ran alone
+    assert engine.total_requests == 3

@@ -245,6 +245,61 @@ def test_int4_fallback_to_int8_on_odd_dims():
     assert "w_q" in q["down"] and "w_q4" not in q["down"]
 
 
+def test_edit_many_matches_individual_calls(pipe, test_img):
+    """Cross-request batching (edit_many) carries per-row conditioning,
+    so each item's result matches its own individual __call__ — 3 items
+    also exercises row padding up to the 4-bucket (padded rows must not
+    leak into outputs)."""
+    img2 = imaging.make_test_image(64, 64, "gradient")
+    items = [
+        {"image": test_img, "prompt": "oil painting", "seed": 5},
+        {"image": img2, "prompt": "cyberpunk neon", "seed": 9},
+        {"image": test_img, "prompt": "pencil sketch", "seed": 1},
+    ]
+    many = pipe.edit_many(items, num_inference_steps=1)
+    assert len(many) == 3
+    for it, res in zip(items, many):
+        solo = pipe(it["image"], it["prompt"], num_inference_steps=1,
+                    seed=it["seed"])
+        np.testing.assert_allclose(
+            np.asarray(res.latents), np.asarray(solo.latents),
+            rtol=1e-4, atol=1e-4)
+        a = np.asarray(res.images[0], np.int16)
+        b = np.asarray(solo.images[0], np.int16)
+        # identical rows modulo batched-GEMM reduction order (≤1 uint8
+        # code at rounding boundaries)
+        assert np.abs(a - b).max() <= 1
+
+
+def test_edit_many_cfg_and_num_images(pipe, test_img):
+    """edit_many composes with true CFG (per-item negative prompts ride
+    their own rows) and per-item num_images."""
+    items = [
+        {"image": test_img, "prompt": "bright", "negative_prompt": "ugly",
+         "seed": 3},
+        {"image": test_img, "prompt": "dark", "negative_prompt": "blurry",
+         "seed": 4, "num_images": 2},
+    ]
+    many = pipe.edit_many(items, num_inference_steps=1, true_cfg_scale=4.0)
+    assert [len(r.images) for r in many] == [1, 2]
+    for r in many:
+        for im in r.images:
+            assert np.isfinite(np.asarray(im, np.float32)).all()
+    assert np.abs(
+        np.asarray(many[1].images[0], np.int16)
+        - np.asarray(many[1].images[1], np.int16)
+    ).max() > 0
+
+
+def test_edit_many_geometry_mismatch_raises(pipe, test_img):
+    tall = imaging.make_test_image(32, 64, "gradient")  # 1:2 aspect
+    with pytest.raises(ValueError, match="share output size"):
+        pipe.edit_many(
+            [{"image": test_img, "prompt": "x"},
+             {"image": tall, "prompt": "y"}],
+            num_inference_steps=1)
+
+
 def test_num_images_per_prompt(pipe, test_img):
     """Upstream-parity batch arg: N variations of one edit in a single
     denoise dispatch — per-row noise, shared conditioning; rows differ,

@@ -344,3 +344,41 @@ def test_edit_num_images(server_url):
         "prompt": "oil painting", "steps": 1,
     })
     assert code == 200 and "images" not in single
+
+
+def test_dynamic_batch_over_http(server_url):
+    """--dynamic-batch on the wire: concurrent compatible /edit requests
+    coalesce into one dispatch instead of 429-rejecting; responses carry
+    the additive batched_with field."""
+    import time
+
+    url, engine = server_url
+    engine.dynamic_batch = 4
+    try:
+        b64 = imaging.pil_to_base64(imaging.make_test_image(64, 64,
+                                                            "gradient"))
+        engine._lock.acquire()
+        out = {}
+
+        def post(i):
+            out[i] = _post(url + "/edit", {"image": b64, "prompt": f"p{i}",
+                                           "steps": 1, "seed": i})
+
+        ths = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in ths:
+            t.start()
+        for _ in range(2000):
+            with engine._bq_lock:
+                if len(engine._batch_queue) == 2:
+                    break
+            time.sleep(0.005)
+        engine._lock.release()
+        for t in ths:
+            t.join()
+        for i in range(2):
+            code, body = out[i]
+            assert code == 200, body
+            assert body["status"] == "success"
+            assert body["batched_with"] == 2
+    finally:
+        engine.dynamic_batch = 0
