@@ -48,6 +48,10 @@ def main() -> int:
                     help="stream_session id: frames sent under one id share "
                          "temporal latent state server-side (keyframes "
                          "re-anchor, in-between frames run refine-only)")
+    ap.add_argument("--num-images", type=int, default=1,
+                    help="N seed variations from ONE denoise dispatch "
+                         "(server num_images extension; saved as "
+                         "out_v0..out_vN-1)")
     args = ap.parse_args()
     if len(args.image) > 1 and not args.session:
         ap.error("multiple images need --session (a stream id)")
@@ -67,6 +71,8 @@ def main() -> int:
         }
         if args.session:
             body["stream_session"] = args.session
+        if args.num_images > 1:
+            body["num_images"] = args.num_images
         if args.ref:
             body["ref_image"] = to_b64(args.ref)
             body["ref_mode"] = args.ref_mode
@@ -88,9 +94,15 @@ def main() -> int:
             stem, dot, ext = args.out.rpartition(".")
             out = f"{stem or ext}_{i:03d}.{ext}" if dot else f"{args.out}_{i:03d}"
         Image.open(io.BytesIO(base64.b64decode(resp["image"]))).save(out)
+        for v, extra in enumerate(resp.get("images", [])):
+            stem, dot, ext = out.rpartition(".")
+            vout = f"{stem}_v{v}.{ext}" if dot else f"{out}_v{v}"
+            Image.open(io.BytesIO(base64.b64decode(extra))).save(vout)
         tag = (f" [frame {resp['frame']}"
                f"{', keyframe' if resp.get('keyframe') else ''}]"
                if args.session else "")
+        if resp.get("images"):
+            tag += f" [+{len(resp['images'])} variations]"
         print(f"edited in {resp['elapsed']:.2f}s → {out}{tag}")
     return 0
 

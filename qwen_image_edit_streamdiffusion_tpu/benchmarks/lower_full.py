@@ -255,7 +255,7 @@ def lower_vae(mesh):
 
 
 def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
-                       cfg_mode: str | None = None):
+                       cfg_mode: str | None = None, rows: int = 1):
     """AOT-compile the ACTUAL serving executable — the full 2-step
     CFG denoise `lax.fori_loop` the jitted pipeline runs per request —
     for the 20B preset on the v5e topology. bits=8 quantizes the block
@@ -265,7 +265,10 @@ def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
     axis when it exists (≥4 chips), batched otherwise; pass cfg_mode to
     override (e.g. "rcfg-self" — Residual CFG at cond-only forward
     count; measured 13.18 vs 13.21 GB/chip on the int4 2-chip slice, so
-    it buys speed, not memory)."""
+    it buys speed, not memory). rows>1 budgets the cross-request
+    dynamic-batching dispatch (engine --dynamic-batch: several requests'
+    rows in one denoise loop) — activation temps scale with rows, params
+    don't."""
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
         EditPipeline,
@@ -286,7 +289,7 @@ def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
     img_shapes = ((1, 64, 64), (1, 64, 64))  # 1024² target + 1024² cond
     txt_len = 256
     steps = 2
-    fn = pipe._denoise_fn(1, img_shapes, txt_len, steps, cfg_mode)
+    fn = pipe._denoise_fn(rows, img_shapes, txt_len, steps, cfg_mode)
 
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
     if bits:
@@ -309,18 +312,19 @@ def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
     abs_ = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
     args = (
         params_abs,
-        abs_((1, l_target, cfg.in_channels), jnp.bfloat16),   # x0
-        abs_((1, l_cond, cfg.in_channels), jnp.bfloat16),     # cond tokens
-        abs_((1, txt_len, cfg.joint_dim), jnp.bfloat16),      # txt
-        abs_((1, txt_len), jnp.bool_),                        # mask
-        abs_((1, txt_len, cfg.joint_dim), jnp.bfloat16),      # neg txt
-        abs_((1, txt_len), jnp.bool_),                        # neg mask
-        abs_((), jnp.float32),                                # cfg scale
+        abs_((rows, l_target, cfg.in_channels), jnp.bfloat16),  # x0
+        abs_((rows, l_cond, cfg.in_channels), jnp.bfloat16),    # cond tokens
+        abs_((rows, txt_len, cfg.joint_dim), jnp.bfloat16),     # txt
+        abs_((rows, txt_len), jnp.bool_),                       # mask
+        abs_((rows, txt_len, cfg.joint_dim), jnp.bfloat16),     # neg txt
+        abs_((rows, txt_len), jnp.bool_),                       # neg mask
+        abs_((), jnp.float32),                                  # cfg scale
     )
     t0 = time.time()
     lowered = fn.lower(*args)
     print(f"serving loop ({steps}-step {cfg_mode}-CFG"
-          f"{f', int{bits}' if bits else ''}) lowered in "
+          f"{f', int{bits}' if bits else ''}"
+          f"{f', {rows} batched rows' if rows > 1 else ''}) lowered in "
           f"{time.time() - t0:.1f}s")
     t0 = time.time()
     compiled = lowered.compile()
@@ -443,7 +447,8 @@ def lower_stream(mesh, is_tpu: bool):
 
 def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          vl: bool = False, vl_bits: int = 0,
-         stream: bool = False, cfg_mode: str | None = None):
+         stream: bool = False, cfg_mode: str | None = None,
+         rows: int = 1):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
     compile_cache.honor_platform_env()
@@ -467,7 +472,7 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
         return
     if loop:
         loop_mem = lower_serving_loop(mesh, is_tpu, bits=bits,
-                                      cfg_mode=cfg_mode)
+                                      cfg_mode=cfg_mode, rows=rows)
         if not vl:
             return
         # --loop --vl: the COMPLETE per-chip deployment budget (VERDICT r2
@@ -569,9 +574,12 @@ if __name__ == "__main__":
                else (4 if "--int4-vl" in sys.argv else 0))
     cfg_mode = (sys.argv[sys.argv.index("--cfg-mode") + 1]
                 if "--cfg-mode" in sys.argv else None)
+    rows = (int(sys.argv[sys.argv.index("--rows") + 1])
+            if "--rows" in sys.argv else 1)
     main(n_devices=n, loop="--loop" in sys.argv,
          bits=bits,
          vl="--vl" in sys.argv,
          vl_bits=vl_bits,
          stream="--stream" in sys.argv,
-         cfg_mode=cfg_mode)
+         cfg_mode=cfg_mode,
+         rows=rows)

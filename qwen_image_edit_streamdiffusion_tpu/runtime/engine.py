@@ -330,17 +330,30 @@ class InferenceEngine:
             if not entry.event.is_set():
                 with self._bq_lock:
                     self._batch_queue.remove(entry)
-                    batch = [entry]
-                    rows = item["num_images"]
+                    cands, rows = [entry], [item["num_images"]]
                     for other in list(self._batch_queue):
-                        if rows >= self.dynamic_batch:
+                        if sum(rows) >= self.dynamic_batch:
                             break
                         o_rows = other.item["num_images"]
                         if (other.key == entry.key
-                                and rows + o_rows <= self.dynamic_batch):
-                            self._batch_queue.remove(other)
-                            batch.append(other)
-                            rows += o_rows
+                                and sum(rows) + o_rows
+                                <= self.dynamic_batch):
+                            cands.append(other)
+                            rows.append(o_rows)
+                    # Take the longest prefix whose row total is an EXACT
+                    # compiled bucket: padding 3 queued rows up to the
+                    # 4-bucket burns a whole extra model-row (~hundreds of
+                    # ms) to save one dispatch RTT (~30 ms) — measured a
+                    # net throughput LOSS. Dispatch the exact-bucket
+                    # prefix now; the remainder leads the next dispatch
+                    # immediately (the device never idles).
+                    best = 1
+                    for i in range(1, len(cands) + 1):
+                        if sum(rows[:i]) in (1, 2, 4, 8, 16):
+                            best = i
+                    batch = cands[:best]
+                    for e in batch[1:]:
+                        self._batch_queue.remove(e)
                 try:
                     results = self.pipeline.edit_many(
                         [e.item for e in batch],
