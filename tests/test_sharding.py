@@ -379,3 +379,56 @@ def test_vl_fit_axes_fallback_ladder():
     assert sharding._fit_axes(("cfg", "model"), 7, sizes) is None
     assert sharding._fit_axes(("cfg", "model"), None, sizes) == (
         "cfg", "model")  # no shape info → structure-only
+
+
+def test_edit_many_under_tp_mesh(tiny_preset):
+    """Cross-request batched rows (edit_many — the dynamic-batching
+    dispatch) through the (cfg × model) mesh: each item's result must
+    equal its own single-device sequential-CFG call, proving coalesced
+    multi-request rows compose with TP + parallel CFG."""
+    import dataclasses
+
+    from qwen_image_edit_streamdiffusion_tpu.core import imaging
+    from qwen_image_edit_streamdiffusion_tpu.core.config import (
+        StreamConfig,
+        get_preset,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    tiny_f32 = dataclasses.replace(
+        get_preset("tiny"),
+        model=dataclasses.replace(get_preset("tiny").model,
+                                  dtype="float32"),
+    )
+
+    def mk(mesh, mode):
+        cfg = StreamConfig(
+            width=64, height=64, vae_image_area=64 * 64,
+            vl_image_area=56 * 56, num_inference_steps=1, cfg_mode=mode,
+            model_preset="tiny", use_vl_encoder=False, dtype="float32",
+            mesh_cfg_axis=2 if mesh else 1, mesh_model_axis=4 if mesh else 1,
+        )
+        return EditPipeline.create(tiny_f32, config=cfg, seed=0, mesh=mesh)
+
+    items = [
+        {"image": imaging.make_test_image(64, 64, "circle"),
+         "prompt": "warm colors", "negative_prompt": "bad", "seed": 5},
+        {"image": imaging.make_test_image(64, 64, "gradient"),
+         "prompt": "cold colors", "negative_prompt": "worse", "seed": 9},
+    ]
+    mesh = meshes.make_mesh(cfg_axis=2, model_axis=4)
+    many = mk(mesh, "parallel").edit_many(
+        items, num_inference_steps=1, true_cfg_scale=4.0)
+
+    solo = mk(None, "sequential")
+    for it, res in zip(items, many):
+        ref = solo(it["image"], it["prompt"],
+                   negative_prompt=it["negative_prompt"],
+                   num_inference_steps=1, true_cfg_scale=4.0,
+                   seed=it["seed"])
+        np.testing.assert_allclose(
+            np.asarray(res.latents, np.float32),
+            np.asarray(ref.latents, np.float32),
+            atol=2e-4, rtol=1e-3)
