@@ -94,7 +94,8 @@ def main() -> int:
             stem, dot, ext = args.out.rpartition(".")
             out = f"{stem or ext}_{i:03d}.{ext}" if dot else f"{args.out}_{i:03d}"
         Image.open(io.BytesIO(base64.b64decode(resp["image"]))).save(out)
-        for v, extra in enumerate(resp.get("images", [])):
+        # "images" carries variations 1..N-1 (variation 0 IS "image")
+        for v, extra in enumerate(resp.get("images", []), start=1):
             stem, dot, ext = out.rpartition(".")
             vout = f"{stem}_v{v}.{ext}" if dot else f"{out}_v{v}"
             Image.open(io.BytesIO(base64.b64decode(extra))).save(vout)

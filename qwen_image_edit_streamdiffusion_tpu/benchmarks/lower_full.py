@@ -205,9 +205,12 @@ def lower_vl(mesh, is_tpu: bool, vl_bits: int = 0):
     return {"params": pbytes, "temps": temps}
 
 
-def lower_vae(mesh):
+def lower_vae(mesh, rows: int = 1):
     """AOT the replicated VAE encode+decode at the 1024² serving bucket;
-    returns per-chip {params, temps} bytes.
+    returns per-chip {params, temps} bytes. rows>1 budgets the decode at
+    the dynamic-batching dispatch width (edit_many decodes all real rows
+    in one jit — decode temps scale with rows; encode stays batch 1, one
+    condition image per item).
 
     The Pallas small-C conv kernel is disabled for this lowering: a Mosaic
     custom call inside a multi-device GSPMD jit cannot be auto-partitioned
@@ -236,13 +239,14 @@ def lower_vae(mesh):
         ("encode", lambda p, x: vae_mod.encode(p, vcfg, x),
          jax.ShapeDtypeStruct((1, 1024, 1024, 3), dt, sharding=rep)),
         ("decode", lambda p, z: vae_mod.decode(p, vcfg, z),
-         jax.ShapeDtypeStruct((1, 128, 128, vcfg.latent_channels), dt,
+         jax.ShapeDtypeStruct((rows, 128, 128, vcfg.latent_channels), dt,
                               sharding=rep)),
     ):
         t0 = time.time()
         mem = jax.jit(fn).lower(abs_params, arg).compile().memory_analysis()
         if mem is not None:
-            print(f"  VAE {name} @1024²: temps "
+            tag = f" ×{rows} rows" if name == "decode" and rows > 1 else ""
+            print(f"  VAE {name} @1024²{tag}: temps "
                   f"{mem.temp_size_in_bytes / 1e9:.2f} GB "
                   f"({time.time() - t0:.1f}s)")
             temps = max(temps, mem.temp_size_in_bytes)
@@ -480,7 +484,7 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
         # phase temps (VL encode → denoise loop → VAE decode) never
         # coexist, so peak = Σ params + max(phase temps).
         vl_mem = lower_vl(mesh, is_tpu, vl_bits=vl_bits)
-        vae_mem = lower_vae(mesh)
+        vae_mem = lower_vae(mesh, rows=rows)
         if loop_mem is None:
             print("no memory analysis available on this target")
             return

@@ -759,10 +759,20 @@ class EditPipeline:
         noise, shared conditioning). On TPU this amortizes the fixed
         per-request costs (VL prompt encode, condition VAE encode, one
         tunnel round-trip + fetch) across N images; all CFG modes compose
-        (batched CFG runs 2N rows)."""
+        (batched CFG runs 2N rows). Routed through :meth:`edit_many` so
+        the rows share its {1,2,4,8,16} graph buckets — N=3/5/6/7 must
+        not each compile a distinct multi-minute denoise graph."""
         t_start = time.time()
         images = [image] if isinstance(image, Image.Image) else list(image)
         n_out = max(1, int(num_images_per_prompt))
+        if n_out > 1:
+            return self.edit_many(
+                [{"image": images, "prompt": prompt,
+                  "negative_prompt": negative_prompt, "seed": seed,
+                  "num_images": n_out, "height": height, "width": width}],
+                num_inference_steps=num_inference_steps,
+                true_cfg_scale=true_cfg_scale,
+            )[0]
         steps = num_inference_steps or self.config.num_inference_steps
         cfg_scale = (true_cfg_scale if true_cfg_scale is not None
                      else self.config.true_cfg_scale)
@@ -815,26 +825,15 @@ class EditPipeline:
         else:
             cond_tokens, cond_shapes = self.encode_condition_latents(vae_images)
 
-        # Initial noise for the target image(s) (seeded — reference pins
-        # 42; row 0 of an N-image batch draws the same noise as a 1-image
-        # call would ONLY at n_out=1 — jax.random.normal over (N, ...)
-        # is a different stream — so batching is a variations feature,
-        # not a bit-exact repeat of the single-image result).
+        # Initial noise for the target image (seeded — reference pins 42).
         zh, zw = out_h // 8, out_w // 8
-        x0 = self._noise_fn((n_out, zh, zw, self.preset.vae.latent_channels))(
+        x0 = self._noise_fn((1, zh, zw, self.preset.vae.latent_channels))(
             stream(key_from_seed(seed), "latents")
         )
-        if n_out > 1:
-            # conditioning is shared: broadcast to the output batch
-            cond_tokens = jnp.tile(cond_tokens, (n_out, 1, 1))
-            txt = jnp.tile(txt, (n_out, 1, 1))
-            mask = jnp.tile(mask, (n_out, 1))
-            neg_txt = jnp.tile(neg_txt, (n_out, 1, 1))
-            neg_mask = jnp.tile(neg_mask, (n_out, 1))
 
         img_shapes = tuple([(1, zh // 2, zw // 2)] + cond_shapes)
         run = self._denoise_fn(
-            batch=n_out,
+            batch=1,
             img_shapes=img_shapes,
             txt_len=txt.shape[1],
             num_steps=steps,

@@ -81,6 +81,11 @@ class InferenceEngine:
     # the previous dispatch's duration. Implies queue semantics (no 429
     # for plain edits). Server: --dynamic-batch / QIE_DYNAMIC_BATCH.
     dynamic_batch: int = 0
+    # Hard cap on rows a single request may dispatch (num_images clamp;
+    # QIE_MAX_ROWS). Deployments should match this to the AOT-verified
+    # `lower_full --rows` budget — with dynamic batching on, the
+    # effective cap is min(max_rows, dynamic_batch).
+    max_rows: int = 8
     _batch_queue: list = field(default_factory=list)
     _bq_lock: threading.Lock = field(default_factory=threading.Lock)
     # Bounded table of temporal-latent stream sessions (requests carrying a
@@ -145,7 +150,8 @@ class InferenceEngine:
         eng = cls(pipeline=pipe,
                   default_steps=pipe.config.num_inference_steps,
                   warmup_cfg=warmup_cfg, warmup_stream=warmup_stream,
-                  input_size=input_size, dynamic_batch=dynamic_batch)
+                  input_size=input_size, dynamic_batch=dynamic_batch,
+                  max_rows=int(os.environ.get("QIE_MAX_ROWS", "8")))
         if warmup_runs:
             eng.warmup(runs=warmup_runs)
         return eng
@@ -161,8 +167,32 @@ class InferenceEngine:
         self.pipeline.warmup(height=self.input_size, width=self.input_size,
                              steps=self.default_steps, runs=runs,
                              cfg=self.warmup_cfg)
+        if self.dynamic_batch > 1:
+            self._warmup_row_buckets()
         if self.warmup_stream:
             self._warmup_stream_graphs()
+
+    def _warmup_row_buckets(self) -> None:
+        """Pre-compile the multi-row denoise/decode buckets dynamic
+        batching dispatches ({2, 4, ...} ≤ dynamic_batch, fast mode, plus
+        CFG variants when warmup_cfg). Without this the first concurrent
+        burst coalesces into a cold bucket and every coalesced client
+        stalls on a tunnel-scale compile while the leader holds the
+        device lock (the stream-graph analog measured 168 s cold)."""
+        s = self.input_size
+        img = imaging.make_test_image(s, s, "gray")
+        prompt = "Transform into oil painting style"
+        b = 2
+        while b <= self.dynamic_batch:
+            items = [{"image": img, "prompt": prompt, "seed": i}
+                     for i in range(b)]
+            self.pipeline.edit_many(items,
+                                    num_inference_steps=self.default_steps)
+            if self.warmup_cfg:
+                cfg_items = [dict(it, negative_prompt="") for it in items]
+                self.pipeline.edit_many(
+                    cfg_items, num_inference_steps=self.default_steps)
+            b *= 2
 
     def _warmup_stream_graphs(self) -> None:
         """Compile the stream-session fused graphs (keyframe + temporal
@@ -268,6 +298,13 @@ class InferenceEngine:
         img = imaging.resize(img, s, s)
         cfg_scale = request.get("cfg_scale")
         seed = request.get("seed")
+        # num_images rows share the deployment's AOT-verified row budget
+        # (DEPLOY.md `lower_full --rows`): with dynamic batching on, one
+        # request must not dispatch more rows than the coalescing cap the
+        # deployment was budgeted for; max_rows bounds the sessionless
+        # path too (QIE_MAX_ROWS).
+        cap = (min(self.max_rows, self.dynamic_batch)
+               if self.dynamic_batch > 1 else self.max_rows)
         return {
             "image": [img] + extra_images,
             "prompt": prompt,
@@ -278,7 +315,7 @@ class InferenceEngine:
                                else float(cfg_scale)),
             "seed": 42 if seed is None else int(seed),
             "num_images": max(1, min(int(request.get("num_images") or 1),
-                                     8)),
+                                     cap)),
         }
 
     def _response(self, item: Dict[str, Any], result: Any, start: float,
@@ -292,8 +329,10 @@ class InferenceEngine:
             "status": "success",
         }
         if item["num_images"] > 1:
+            # extras only — variation 0 is already in "image"; repeating
+            # it would ship (and base64-encode) the same bytes twice
             resp["images"] = [imaging.pil_to_base64(im)
-                              for im in result.images]
+                              for im in result.images[1:]]
         if batched_with is not None and batched_with > 1:
             # additive extension field: how many requests shared the
             # denoise dispatch (lets clients/benchmarks observe coalescing)
@@ -372,7 +411,12 @@ class InferenceEngine:
         finally:
             self._lock.release()
         if entry.error is not None:
-            raise entry.error
+            # fresh exception per waiter: re-raising ONE shared instance
+            # from K threads concurrently mutates its __traceback__, and
+            # a BaseException (KeyboardInterrupt mid-dispatch) would skip
+            # the server's except-Exception → 500 wire contract
+            raise RuntimeError(
+                f"batched dispatch failed: {entry.error}") from entry.error
         return entry.result
 
     def _edit_stream(self, sid: str, request: Dict[str, Any],

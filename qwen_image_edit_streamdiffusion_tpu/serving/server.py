@@ -163,11 +163,18 @@ def create_fastapi_app(engine: InferenceEngine):
         negative_prompt: str | None = None  # honored only with use_cfg
         cfg_scale: float | None = None  # true_cfg_scale override
         seed: int = 42
+        # N seed variations in one denoise dispatch ("image" stays
+        # variation 0; the extras arrive in the "images" response list)
+        num_images: int = 1
 
     class EditResponse(BaseModel):
         image: str
         elapsed: float
         status: str
+        # num_images>1: variations 1..N-1 ("image" is variation 0)
+        images: list[str] | None = None
+        # dynamic batching: requests sharing this denoise dispatch
+        batched_with: int | None = None
         # stream-session extension fields (None on sessionless requests)
         stream_session: str | None = None
         keyframe: bool | None = None

@@ -320,8 +320,9 @@ def test_edit_request_extensions_seed_negative_cfgscale(server_url):
 
 def test_edit_num_images(server_url):
     """num_images=N returns N variations in one denoise dispatch: the
-    reference-compatible "image" field stays variation 0 and the extras
-    ride in an additive "images" list (absent at N=1)."""
+    reference-compatible "image" field stays variation 0 and variations
+    1..N-1 ride in an additive "images" list (absent at N=1; extras only —
+    repeating variation 0 would ship the same bytes twice)."""
     url, _ = server_url
     img = imaging.make_test_image(64, 64, "circle")
     code, body = _post(url + "/edit", {
@@ -332,10 +333,9 @@ def test_edit_num_images(server_url):
     })
     assert code == 200, body
     assert body["status"] == "success"
-    assert len(body["images"]) == 2
-    assert body["images"][0] == body["image"]
-    a, b = (np.asarray(imaging.base64_to_pil(x), np.int16)
-            for x in body["images"])
+    assert len(body["images"]) == 1
+    a = np.asarray(imaging.base64_to_pil(body["image"]), np.int16)
+    b = np.asarray(imaging.base64_to_pil(body["images"][0]), np.int16)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.abs(a - b).max() > 0
 
