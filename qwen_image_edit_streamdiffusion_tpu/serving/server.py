@@ -208,6 +208,11 @@ def create_fastapi_app(engine: InferenceEngine):
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
 
+    # exposed for schema-generating clients and the wire-contract test
+    # (the models are function-local; PEP-563 string annotations make
+    # them unreachable via inspect)
+    app.edit_request_model = EditRequest
+    app.edit_response_model = EditResponse
     return app
 
 

@@ -382,3 +382,86 @@ def test_dynamic_batch_over_http(server_url):
             assert body["batched_with"] == 2
     finally:
         engine.dynamic_batch = 0
+
+
+def test_fastapi_factory_contract(server_url, monkeypatch):
+    """Execute create_fastapi_app under a stub fastapi module (pydantic is
+    real in this image): the endpoint coroutines run against the real
+    engine, and every field the engine returns must be representable in
+    the declared response model — FastAPI's response_model filtering
+    would otherwise silently strip wire features (the caught bug class:
+    images/batched_with dropped, num_images ignored)."""
+    import asyncio
+    import sys
+    import types
+
+    _, engine = server_url
+
+    fastapi = types.ModuleType("fastapi")
+
+    class FastAPI:
+        def __init__(self, **k):
+            self.routes = {}
+            self.response_models = {}
+
+        def add_middleware(self, *a, **k):
+            pass
+
+        def get(self, path, **k):
+            def deco(fn):
+                self.routes[("GET", path)] = fn
+                return fn
+            return deco
+
+        def post(self, path, response_model=None, **k):
+            def deco(fn):
+                self.routes[("POST", path)] = fn
+                self.response_models[("POST", path)] = response_model
+                return fn
+            return deco
+
+    class HTTPException(Exception):
+        def __init__(self, status_code, detail=""):
+            super().__init__(detail)
+            self.status_code = status_code
+            self.detail = detail
+
+    fastapi.FastAPI, fastapi.HTTPException = FastAPI, HTTPException
+    mw = types.ModuleType("fastapi.middleware")
+    cors = types.ModuleType("fastapi.middleware.cors")
+    cors.CORSMiddleware = object
+    mw.cors = cors
+    fastapi.middleware = mw
+    monkeypatch.setitem(sys.modules, "fastapi", fastapi)
+    monkeypatch.setitem(sys.modules, "fastapi.middleware", mw)
+    monkeypatch.setitem(sys.modules, "fastapi.middleware.cors", cors)
+
+    from qwen_image_edit_streamdiffusion_tpu.serving.server import (
+        create_fastapi_app,
+    )
+
+    app = create_fastapi_app(engine)
+    assert asyncio.run(app.routes[("GET", "/")]())["status"] == "running"
+    assert asyncio.run(app.routes[("GET", "/health")]())["model_loaded"]
+
+    edit = app.routes[("POST", "/edit")]
+    req_model = app.edit_request_model
+    resp_model = app.response_models[("POST", "/edit")]
+    assert resp_model is app.edit_response_model
+    img = imaging.pil_to_base64(imaging.make_test_image(64, 64, "circle"))
+    resp = asyncio.run(edit(req_model(
+        image=img, prompt="stylize", steps=1, num_images=2)))
+    stripped = set(resp) - set(resp_model.model_fields)
+    assert not stripped, f"response model strips wire fields: {stripped}"
+    v = resp_model.model_validate(resp)
+    assert v.status == "success"
+    assert v.images is not None and len(v.images) == 1  # extras only
+
+    # error translation: a busy engine surfaces as HTTPException(429)
+    engine._lock.acquire()
+    try:
+        with pytest.raises(HTTPException) as exc:
+            asyncio.run(edit(req_model(image=img, prompt="x", steps=1)))
+        assert exc.value.status_code == 429
+    finally:
+        engine._lock.release()
