@@ -233,7 +233,11 @@ class InferenceEngine:
             raise ModelNotLoaded("Model not loaded")
         if self.dynamic_batch > 1 and not request.get("stream_session"):
             return self._edit_dynamic(request)
-        if not self._lock.acquire(blocking=self.queue_requests):
+        # Dynamic batching implies queue semantics for the whole wire (its
+        # plain edits never 429) — stream-session frames arriving while a
+        # coalesced dispatch holds the device must queue too, not bounce.
+        blocking = self.queue_requests or self.dynamic_batch > 1
+        if not self._lock.acquire(blocking=blocking):
             raise EngineBusy("Server is busy processing another request")
         try:
             start = time.time()

@@ -220,6 +220,41 @@ def test_dynamic_batching_coalesces_concurrent_requests():
     assert np.abs(arrs[1] - arrs[2]).max() > 0
 
 
+def test_dynamic_batching_stream_frames_queue_not_429():
+    """With dynamic batching on, the wire has queue semantics — a
+    stream_session frame arriving while the device is busy must wait for
+    the lock like the coalesced plain edits do, not bounce with 429."""
+    from qwen_image_edit_streamdiffusion_tpu.core.imaging import (
+        make_test_image,
+        pil_to_base64,
+    )
+
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=1,
+                             dynamic_batch=4)
+    b64 = pil_to_base64(make_test_image(64, 64, "gray"))
+
+    engine._lock.acquire()
+    results = {}
+
+    def worker():
+        try:
+            results["r"] = engine.edit(
+                {"image": b64, "stream_session": "s1", "steps": 1})
+        except EngineBusy as exc:
+            results["r"] = exc
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=0.3)
+    assert t.is_alive(), "stream frame should be queued on the busy lock"
+    engine._lock.release()
+    t.join()
+    assert isinstance(results["r"], dict)
+    assert results["r"]["status"] == "success"
+    assert results["r"]["stream_session"] == "s1"
+
+
 def test_dynamic_batching_incompatible_keys_split():
     """Requests with different compatibility keys (here: steps) never share
     a dispatch — the mismatched follower becomes its own leader."""
