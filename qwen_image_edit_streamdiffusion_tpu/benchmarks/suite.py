@@ -527,7 +527,7 @@ def bench_serve(args):
             else:
                 ts.append(dt)
         ts.sort()
-        p50 = statistics.median(ts)
+        p50 = p50_session = statistics.median(ts)
         print(f"  /edit session p50 {p50:.3f}s ({1.0 / p50:.1f} fps)  "
               f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
               f"keyframe(warm) {first:.3f}s  (n={len(ts)}, one "
@@ -622,6 +622,59 @@ def bench_serve(args):
                   f"(1-client fast floor {1.0 / p50_fast:.2f}), "
                   f"p50 latency {statistics.median(lats):.3f}s, "
                   f"mean rows/dispatch {statistics.mean(rows):.1f}")
+
+            # multi-SESSION streaming under the same flag: k concurrent
+            # webcam users, one stream_session each; compatible temporal
+            # refine frames coalesce into one multi-row fused dispatch
+            # per frame-time (pipeline.stream.submit_frames_batched)
+            def sess_body(i, j):
+                frame = Image.fromarray(
+                    np.roll(base, 9 * i + 7 * j, axis=1))
+                buf = io.BytesIO()
+                frame.save(buf, "JPEG", quality=90)
+                return {
+                    "image": base64.b64encode(buf.getvalue()).decode(),
+                    "prompt": "Transform into oil painting style",
+                    "steps": args.steps, "stream_session": f"mcam-{i}",
+                }
+
+            for i in range(k):  # keyframes anchor serially
+                post_resp(sess_body(i, 0))
+            bar2 = threading.Barrier(k)
+
+            def swarm(i):  # one synchronized volley warms the row bucket
+                bar2.wait()
+                post_resp(sess_body(i, 1))
+
+            ths = [threading.Thread(target=swarm, args=(i,))
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+
+            lats2, rows2 = [], []
+
+            def sclient(i):
+                for j in range(2, m + 2):
+                    t0 = time.time()
+                    resp = post_resp(sess_body(i, j))
+                    lats2.append(time.time() - t0)
+                    rows2.append(resp.get("batched_with", 1))
+
+            t0 = time.time()
+            ths = [threading.Thread(target=sclient, args=(i,))
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            wall = time.time() - t0
+            print(f"  /edit stream {k} sessions: "
+                  f"{k * m / wall:.2f} frames/s aggregate "
+                  f"(1-session floor {1.0 / p50_session:.2f} fps), "
+                  f"p50 latency {statistics.median(sorted(lats2)):.3f}s, "
+                  f"mean rows/dispatch {statistics.mean(rows2):.1f}")
             engine.dynamic_batch = 0
     finally:
         srv.shutdown()

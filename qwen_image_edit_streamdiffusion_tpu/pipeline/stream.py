@@ -69,6 +69,28 @@ from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
 from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import EditPipeline
 
 
+class BatchPixels:
+    """Device pixels from a multi-row batched stream dispatch, fetched to
+    host ONCE and shared by every row's collector. Concurrent sessions
+    whose frames coalesced into one dispatch (see
+    :func:`submit_frames_batched`) each hold a ``(BatchPixels, row)``
+    handle; whichever collects first pays the single device→host transfer
+    (the whole batch in one tunnel fetch), the rest slice the cached host
+    copy for free."""
+
+    __slots__ = ("pixels", "_host")
+
+    def __init__(self, pixels):
+        self.pixels = pixels
+        self._host = None
+
+    def fetch(self, pipe) -> List[Image.Image]:
+        if self._host is None:
+            self._host = pipe._fetch_images(self.pixels)
+            self.pixels = None  # free the device buffer reference
+        return self._host
+
+
 @dataclass
 class RealtimePipeline:
     pipe: EditPipeline
@@ -261,6 +283,73 @@ class RealtimePipeline:
         p._jit_cache[key] = fused
         return fused
 
+    def _fused_frames_fn(self, rows: int, kind: str, hw_in, zh: int,
+                         zw: int, cond_shapes, txt_len: int, steps: int,
+                         start: int, use_cfg: bool = False):
+        """Multi-ROW variant of :meth:`_fused_frame_fn`: one jitted graph
+        that runs `rows` independent sessions' frames in a single device
+        dispatch (encode → denoise → decode, per-row conditioning, prev
+        latents and noise keys). The cross-session analog of
+        EditPipeline.edit_many — concurrent stream sessions coalesce their
+        compatible temporal frames instead of serializing whole dispatches
+        on the device lock. Noise is generated per row with that row's own
+        frame key (unrolled — rows is small and static), so row r is
+        bit-identical to the same session dispatching alone."""
+        p = self.pipe
+        fmt = self.config.transfer_format
+        key = ("stream_fused_rows", rows, kind, hw_in, zh, zw,
+               tuple(cond_shapes), txt_len, steps, start, use_cfg, fmt)
+        if key in p._jit_cache:
+            return p._jit_cache[key]
+
+        enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb")
+        dec = p._vae_decode_fn((zh, zw))
+        img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
+        if use_cfg:
+            mode = (p.config.cfg_mode
+                    if p.config.cfg_mode in ("rcfg", "rcfg-self")
+                    else "batched")
+        else:
+            mode = "none"
+        run = p._denoise_fn(rows, img_shapes, txt_len, steps, mode,
+                            start_step=start)
+        schedule = sched.make_schedule(steps, (zh // 2) * (zw // 2),
+                                       p.preset.scheduler)
+        sigma_start = schedule.sigmas[start]
+        mdt = jnp.dtype(p.preset.model.dtype)
+        zc = p.preset.vae.latent_channels
+
+        def make_x0_key(keys, prev, ns):
+            parts = [
+                jax.random.normal(keys[r], (1, zh, zw, zc), jnp.float32)
+                for r in range(rows)
+            ]
+            return tfm.pack_latents(jnp.concatenate(parts, 0)).astype(mdt)
+
+        def make_x0_temporal(keys, prev, ns):
+            parts = []
+            for r in range(rows):
+                k1, k2 = split_keys(keys[r])
+                pv = prev[r:r + 1].astype(jnp.float32)
+                pv = pv + ns * jax.random.normal(k1, pv.shape, jnp.float32)
+                eps = jax.random.normal(k2, pv.shape, jnp.float32)
+                parts.append(sched.scale_noise(pv, eps, sigma_start))
+            return tfm.pack_latents(jnp.concatenate(parts, 0)).astype(mdt)
+
+        make_x0 = make_x0_key if kind == "key" else make_x0_temporal
+
+        @jax.jit
+        def fused(tfm_p, vae_p, frames_u8, prev, keys, ns, txt, mask,
+                  neg_txt, neg_mask, cfg_scale):
+            cond = enc(vae_p, frames_u8)
+            x0 = make_x0(keys, prev, ns)
+            final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
+                        cfg_scale)
+            return dec(vae_p, final)
+
+        p._jit_cache[key] = fused
+        return fused
+
     def process_frame(self, frame: Image.Image) -> Image.Image:
         """Edit one camera frame (reference qwen_realtime.py:226-268).
 
@@ -384,7 +473,11 @@ class RealtimePipeline:
         return pixels
 
     def _collect(self, pixels) -> Image.Image:
-        img = self.pipe._fetch_images(pixels)[0]
+        if isinstance(pixels, tuple) and isinstance(pixels[0], BatchPixels):
+            bp, row = pixels  # one fetch for the whole coalesced batch
+            img = bp.fetch(self.pipe)[row]
+        else:
+            img = self.pipe._fetch_images(pixels)[0]
         if self._preview_scale() > 1 and img.size != (self.config.width,
                                                       self.config.height):
             # preview-resolution temporal frames upscale host-side to the
@@ -604,3 +697,139 @@ class RealtimePipeline:
                 cap.release()
                 if cv2 is not None:
                     cv2.destroyAllWindows()
+
+
+def submit_frames_batched(sessions: List[RealtimePipeline],
+                          frames: List[Image.Image]) -> list:
+    """Dispatch several sessions' frames as ONE multi-row fused graph.
+
+    Cross-SESSION continuous batching: N concurrent webcam users' temporal
+    refine frames run in a single device dispatch with per-row conditioning
+    (each row keeps its own frozen prompt embeds, previous latent, and
+    frame-indexed noise key), instead of serializing N whole dispatches on
+    the device lock. Row r's math is identical to session r dispatching
+    alone — only the graph is shared. The engine's dynamic-batching leader
+    groups compatible queued session frames and calls this
+    (runtime/engine.py); the single-session path is unchanged.
+
+    Contract (the caller groups by exactly this): every session must agree
+    on frame kind (keyframe vs temporal — mixed schedules can't share a
+    fori_loop), steps, CFG-ness, output geometry, transfer format, noise
+    strength and cfg scale, and must not be in hybrid-resolution preview
+    (`preview_scale` > 1 — its temporal grid differs from the keyframe
+    grid) — a mismatch raises ValueError. The Stochastic Similarity Filter
+    is NOT applied here (the caller routes SSF sessions individually).
+
+    Returns one ``(BatchPixels, row)`` handle per session, accepted by
+    :meth:`RealtimePipeline._collect`; the first collector fetches the
+    whole batch in one device→host transfer. Session temporal state
+    (prev_latent, frame_count, is_keyframe) updates as if each had
+    dispatched alone.
+    """
+    if len(sessions) != len(frames):
+        raise ValueError("one frame per session required")
+    if len(sessions) == 1:
+        return [sessions[0].submit_frame(frames[0])]
+    lead = sessions[0]
+    p = lead.pipe
+    c0 = lead.config
+
+    def _sig(sess):
+        c = sess.config
+        return (c.width, c.height, c.num_inference_steps,
+                c.transfer_format, c.noise_strength, c.true_cfg_scale,
+                sess.negative_prompt is not None and c.true_cfg_scale > 1.0)
+
+    def _kf(sess):
+        return (sess.frame_count % sess.config.keyframe_interval == 0
+                or sess.prev_latent is None)
+
+    sig0, kf0 = _sig(lead), _kf(lead)
+    for sess in sessions[1:]:
+        if sess.pipe.tfm_params is not p.tfm_params:
+            raise ValueError("batched sessions must share pipeline params")
+        if _sig(sess) != sig0 or _kf(sess) != kf0:
+            raise ValueError(
+                f"incompatible session for batched dispatch: {_sig(sess)}/"
+                f"kf={_kf(sess)} != {sig0}/kf={kf0}")
+    for sess in sessions:
+        if sess._preview_scale() > 1:
+            raise ValueError("preview_scale sessions cannot batch "
+                             "(temporal grid differs from keyframe grid)")
+
+    steps = c0.num_inference_steps
+    use_cfg = sig0[-1]
+    kind = "key" if kf0 else "temporal"
+    start = 0 if kf0 else steps - lead._refine_steps()
+
+    rows_u8, rows_prev, rows_key = [], [], []
+    rows_txt, rows_mask, rows_ntxt, rows_nmask = [], [], [], []
+    out_hw = cond_hw = None
+    for sess, frame in zip(sessions, frames):
+        cfgc = sess.config
+        out_h, out_w, vae_images, _vl = sess.pipe._prepare_images(
+            [frame], cfgc.height, cfgc.width)
+        if getattr(sess, "_frozen_txt", None) is None:
+            sess.precompute_conditions(sess.prompt, sess.negative_prompt)
+        arr = vae_images[0]
+        if out_hw is None:
+            out_hw, cond_hw = (out_h, out_w), arr.shape[:2]
+        elif (out_h, out_w) != out_hw or arr.shape[:2] != cond_hw:
+            raise ValueError("batched sessions must share image geometry")
+        if cfgc.transfer_format == "yuv420":
+            from qwen_image_edit_streamdiffusion_tpu.ops import colorspace
+
+            rows_u8.append(
+                jnp.asarray(colorspace.pack_yuv420_host(arr))[None])
+        else:
+            rows_u8.append(jnp.asarray(arr, jnp.uint8)[None])
+        rows_key.append(frame_key(
+            stream(key_from_seed(cfgc.seed), "temporal"), sess.frame_count))
+        rows_txt.append(sess._frozen_txt)
+        rows_mask.append(sess._frozen_mask)
+        rows_ntxt.append(sess._frozen_neg_txt)
+        rows_nmask.append(sess._frozen_neg_mask)
+
+    out_h, out_w = out_hw
+    zh, zw = out_h // 8, out_w // 8
+    zc = p.preset.vae.latent_channels
+    for sess in sessions:
+        prev = sess.prev_latent
+        if kf0 or prev is None:
+            prev = jnp.zeros((1, zh, zw, zc), jnp.float32)
+        rows_prev.append(prev)
+
+    # rows' prompt-length buckets may differ (the VL encoder buckets to
+    # multiples of 128) — pad to the max; masked tokens are inert
+    txt_len = max(max(t.shape[1] for t in rows_txt),
+                  max(t.shape[1] for t in rows_ntxt))
+
+    def _pad(a, fill=0):
+        if a.shape[1] == txt_len:
+            return a
+        pad = [(0, 0), (0, txt_len - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    frames_u8 = jnp.concatenate(rows_u8, axis=0)
+    prev = jnp.concatenate(rows_prev, axis=0)
+    keys = jnp.stack(rows_key)
+    txt = jnp.concatenate([_pad(t) for t in rows_txt], axis=0)
+    mask = jnp.concatenate([_pad(m, False) for m in rows_mask], axis=0)
+    neg_txt = jnp.concatenate([_pad(t) for t in rows_ntxt], axis=0)
+    neg_mask = jnp.concatenate([_pad(m, False) for m in rows_nmask], axis=0)
+
+    czh, czw = cond_hw[0] // 8, cond_hw[1] // 8
+    cond_shapes = [(1, czh // 2, czw // 2)]
+    fn = lead._fused_frames_fn(len(sessions), kind, cond_hw, zh, zw,
+                               cond_shapes, txt_len, steps, start, use_cfg)
+    pixels, latents = fn(
+        p.tfm_params, p.vae_params, frames_u8, prev, keys,
+        jnp.float32(c0.noise_strength), txt, mask, neg_txt, neg_mask,
+        jnp.float32(c0.true_cfg_scale),
+    )
+    bp = BatchPixels(pixels)
+    for r, sess in enumerate(sessions):
+        sess.prev_latent = latents[r:r + 1]
+        sess.frame_count += 1
+        sess.is_keyframe = kf0
+    return [(bp, r) for r in range(len(sessions))]

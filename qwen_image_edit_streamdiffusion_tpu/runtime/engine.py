@@ -215,6 +215,26 @@ class InferenceEngine:
         img = imaging.make_test_image(s, s, "gradient")
         sess.process_frame(img)  # keyframe graph (full schedule)
         sess.process_frame(img)  # temporal refine graph
+        if self.dynamic_batch > 1:
+            # multi-SESSION row buckets too: a cold coalesced burst would
+            # otherwise stall every streaming client on one compile
+            from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+                submit_frames_batched,
+            )
+
+            cap = min(self.dynamic_batch, self.max_stream_sessions)
+            b = 2
+            while b <= cap:
+                group = []
+                for _ in range(b):
+                    s2 = RealtimePipeline(
+                        pipe=dataclasses.replace(self.pipeline, config=scfg))
+                    s2.precompute_conditions("warmup")
+                    s2.process_frame(img)  # prime past the keyframe (warm)
+                    group.append(s2)
+                handles = submit_frames_batched(group, [img] * b)
+                group[0]._collect(handles[0])
+                b *= 2
 
     # ------------------------------------------------------------------
 
@@ -231,7 +251,9 @@ class InferenceEngine:
         """
         if self.pipeline is None:
             raise ModelNotLoaded("Model not loaded")
-        if self.dynamic_batch > 1 and not request.get("stream_session"):
+        if self.dynamic_batch > 1:
+            if request.get("stream_session"):
+                return self._edit_stream_dynamic(request)
             return self._edit_dynamic(request)
         # Dynamic batching implies queue semantics for the whole wire (its
         # plain edits never 429) — stream-session frames arriving while a
@@ -423,6 +445,143 @@ class InferenceEngine:
                 f"batched dispatch failed: {entry.error}") from entry.error
         return entry.result
 
+    def _edit_stream_dynamic(self, request: Dict[str, Any]
+                             ) -> Dict[str, Any]:
+        """`stream_session` requests under dynamic batching: queue
+        semantics PLUS cross-session frame coalescing.
+
+        Same leader/follower shape as :meth:`_edit_dynamic`: requests
+        parse host-side, enqueue, and block on the device lock; the
+        lock-holder drains every queued stream entry and serves the lot —
+        compatible temporal refine frames from DIFFERENT sessions run as
+        one multi-row fused dispatch (pipeline.stream
+        submit_frames_batched), so N concurrent webcam users cost one
+        dispatch per frame-time instead of N serialized ones. Keyframes,
+        SSF sessions, preview-scale sessions and second frames of the
+        same session serve individually inside the same lock hold."""
+        start = time.time()
+        sid = str(request.get("stream_session"))
+        # host prep in the requesting thread: validation (422) surfaces
+        # here, and the leader's serial work shrinks
+        img, pipelined = self._parse_stream_request(request)
+        entry = _Pending(
+            {"request": request, "sid": sid, "img": img,
+             "pipelined": pipelined},
+            ("stream", sid), start)
+        with self._bq_lock:
+            self._batch_queue.append(entry)
+        self._lock.acquire()
+        try:
+            if not entry.event.is_set():
+                with self._bq_lock:
+                    drained = [e for e in self._batch_queue
+                               if e.key[0] == "stream"]
+                    for e in drained:
+                        self._batch_queue.remove(e)
+                self._serve_stream_entries(drained)
+        finally:
+            self._lock.release()
+        if entry.error is not None:
+            # fresh exception per waiter (same rationale as _edit_dynamic)
+            raise RuntimeError(
+                f"stream dispatch failed: {entry.error}") from entry.error
+        return entry.result
+
+    def _serve_stream_entries(self, entries: list) -> None:
+        """Serve a drained batch of stream entries in waves: a session
+        with several queued frames contributes one frame per wave (frame
+        N+1's re-noise consumes frame N's latent — they can't share a
+        dispatch)."""
+        remaining = list(entries)
+        while remaining:
+            wave, defer, seen = [], [], set()
+            for e in remaining:
+                if e.item["sid"] in seen:
+                    defer.append(e)
+                else:
+                    seen.add(e.item["sid"])
+                    wave.append(e)
+            self._serve_stream_wave(wave)
+            remaining = defer
+
+    def _serve_stream_wave(self, wave: list) -> None:
+        """One frame per session: resolve sessions, group batchable
+        temporal frames by compatibility, dispatch groups as multi-row
+        fused graphs and the rest individually."""
+        groups: Dict[tuple, list] = {}
+        singles = []
+        for e in wave:
+            try:
+                sess = self._resolve_stream_session(
+                    e.item["sid"], e.item["request"])
+            except BaseException as exc:
+                e.error = exc
+                e.event.set()
+                continue
+            c = sess.config
+            kf = (sess.frame_count % c.keyframe_interval == 0
+                  or sess.prev_latent is None)
+            if kf or c.similarity_filter or sess._preview_scale() > 1:
+                # keyframes could batch with other keyframes, but they're
+                # 1-in-keyframe_interval and usually unaligned across
+                # sessions; SSF needs its per-frame skip decision
+                singles.append((e, sess))
+                continue
+            gkey = (c.num_inference_steps,
+                    sess.negative_prompt is not None
+                    and c.true_cfg_scale > 1.0,
+                    c.true_cfg_scale, c.noise_strength,
+                    c.transfer_format, c.width, c.height)
+            groups.setdefault(gkey, []).append((e, sess))
+        for items in groups.values():
+            while items:
+                # exact-bucket prefix, same economics as _edit_dynamic:
+                # padding a row burns a whole extra model-row to save one
+                # dispatch RTT — measured a net loss
+                n = min(len(items), self.dynamic_batch)
+                take = max(b for b in (1, 2, 4, 8, 16) if b <= n)
+                batch, items = items[:take], items[take:]
+                self._dispatch_stream_batch(batch)
+        for e, sess in singles:
+            self._serve_stream_one(e, sess)
+
+    def _dispatch_stream_batch(self, batch: list) -> None:
+        if len(batch) == 1:
+            self._serve_stream_one(*batch[0])
+            return
+        from qwen_image_edit_streamdiffusion_tpu.pipeline import (
+            stream as stream_mod,
+        )
+
+        try:
+            handles = stream_mod.submit_frames_batched(
+                [s for _, s in batch], [e.item["img"] for e, _ in batch])
+        except BaseException as exc:
+            for e, _ in batch:
+                e.error = exc
+                e.event.set()
+            return
+        for (e, sess), h in zip(batch, handles):
+            try:
+                e.result = self._serve_stream_frame(
+                    e.item["sid"], sess, e.item["img"],
+                    e.item["pipelined"], e.start, handle=h,
+                    batched_with=len(batch))
+            except BaseException as exc:
+                e.error = exc
+            finally:
+                e.event.set()
+
+    def _serve_stream_one(self, e: _Pending, sess: Any) -> None:
+        try:
+            e.result = self._serve_stream_frame(
+                e.item["sid"], sess, e.item["img"], e.item["pipelined"],
+                e.start)
+        except BaseException as exc:
+            e.error = exc
+        finally:
+            e.event.set()
+
     def _edit_stream(self, sid: str, request: Dict[str, Any],
                      start: float) -> Dict[str, Any]:
         """`/edit` with a `stream_session` id: temporal-latent streaming
@@ -460,16 +619,17 @@ class InferenceEngine:
         own frame. Pipelined responses carry `lag`: the number of frames
         the returned image trails the submitted one (0 or 1).
         """
-        import dataclasses
+        img, pipelined = self._parse_stream_request(request)
+        sess = self._resolve_stream_session(sid, request)
+        return self._serve_stream_frame(sid, sess, img, pipelined, start)
 
-        from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
-            RealtimePipeline,
-        )
-
+    def _parse_stream_request(self, request: Dict[str, Any]):
+        """Host-side prep of a stream-session request (decode, optional
+        ref blend, resize): no session/device state touched, so dynamic
+        batching runs it in the requesting thread BEFORE enqueueing —
+        validation errors (422) surface there, and the leader's serial
+        work shrinks."""
         img = imaging.base64_to_pil(request["image"])
-        prompt = request.get("prompt", "Transform into oil painting style")
-        steps = int(request.get("steps", self.default_steps))
-        use_cfg = bool(request.get("use_cfg", False))
         s = self.input_size
         if request.get("ref_image"):
             ref_mode = request.get("ref_mode", "blend")
@@ -483,6 +643,22 @@ class InferenceEngine:
                 float(request.get("blend_ratio", 0.5)),
             )
         img = imaging.resize(img, s, s)
+        return img, bool(request.get("stream_pipeline"))
+
+    def _resolve_stream_session(self, sid: str, request: Dict[str, Any]):
+        """Look up / create the session and sync it to the request's
+        steps + prompt conditioning. Touches the LRU table and may run a
+        VL encode — call with the device lock held."""
+        import dataclasses
+
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+            RealtimePipeline,
+        )
+
+        prompt = request.get("prompt", "Transform into oil painting style")
+        steps = int(request.get("steps", self.default_steps))
+        use_cfg = bool(request.get("use_cfg", False))
+        s = self.input_size
 
         sess = self._sessions.pop(sid, None)
         if sess is None:
@@ -504,11 +680,22 @@ class InferenceEngine:
         if (sess._frozen_txt is None or sess.prompt != prompt
                 or sess.negative_prompt != negative):
             sess.precompute_conditions(prompt, negative)
+        return sess
 
+    def _serve_stream_frame(self, sid: str, sess: Any, img: Any,
+                            pipelined: bool, start: float,
+                            handle: Any = None,
+                            batched_with: Optional[int] = None,
+                            ) -> Dict[str, Any]:
+        """Dispatch/collect one session frame and build the wire response.
+        `handle` set means the frame was already dispatched as a row of a
+        coalesced multi-session batch (submit_frames_batched) — only
+        collection remains."""
         lag = None
-        if request.get("stream_pipeline"):
+        if pipelined:
             t0 = time.time()
-            handle = sess.submit_frame(img)
+            if handle is None:
+                handle = sess.submit_frame(img)
             prev = self._session_pending.get(sid)
             if prev is None:
                 # prime: return the own frame but KEEP it pending so the
@@ -524,7 +711,12 @@ class InferenceEngine:
             # a session switching pipelined→sync must not strand an
             # in-flight frame; its latent already chained device-side
             self._session_pending.pop(sid, None)
-            out = sess.process_frame(img)
+            if handle is not None:
+                t0 = time.time()
+                out = sess._collect(handle)
+                sess.inference_times.append(time.time() - t0)
+            else:
+                out = sess.process_frame(img)
         elapsed = time.time() - start
         self.total_requests += 1
         self.last_elapsed = elapsed
@@ -538,6 +730,8 @@ class InferenceEngine:
         }
         if lag is not None:
             resp["lag"] = lag
+        if batched_with is not None and batched_with > 1:
+            resp["batched_with"] = batched_with
         return resp
 
     # ------------------------------------------------------------------
