@@ -569,16 +569,30 @@ class EditPipeline:
             return v[:, :l_target]
 
         mesh = self.mesh
-        if cfg_mode == "parallel":
-            from qwen_image_edit_streamdiffusion_tpu.parallel.sharding import (
-                batch_sharding,
-                has_axis,
-            )
+        from qwen_image_edit_streamdiffusion_tpu.parallel.sharding import (
+            batch_sharding,
+            has_axis,
+        )
 
-            if not has_axis(mesh, "cfg"):
-                # graceful degrade: parallel CFG without a cfg axis is
-                # exactly batched CFG on one device group
-                cfg_mode = "batched"
+        if cfg_mode == "parallel" and not has_axis(mesh, "cfg"):
+            # graceful degrade: parallel CFG without a cfg axis is
+            # exactly batched CFG on one device group
+            cfg_mode = "batched"
+
+        # Fast-mode row data-parallelism: a cond-only multi-row dispatch
+        # (num_images seed variations / dynamic batching) would leave the
+        # `cfg` mesh axis — provisioned for parallel CFG — completely idle.
+        # Shard the row axis over it instead: N rows cost N/cfg_size
+        # model-rows of wall-clock per chip group, the same hardware the
+        # 2-GPU reference dedicates to the uncond branch (SURVEY.md §2.4).
+        dp_rows = (cfg_mode == "none" and batch > 1 and has_axis(mesh, "cfg")
+                   and batch % mesh.shape["cfg"] == 0)
+
+        def _constrain_dp(x):
+            if dp_rows:
+                return jax.lax.with_sharding_constraint(
+                    x, batch_sharding(mesh))
+            return x
 
         def _constrain_cfg_batch(x):
             """Pin the doubled (cond, uncond) batch to the `cfg` mesh axis —
@@ -592,6 +606,11 @@ class EditPipeline:
                  cfg_scale):
             sigmas = schedule.sigmas
             timesteps = schedule.timesteps
+
+            if dp_rows:
+                x0 = _constrain_dp(x0)
+                cond_tokens = _constrain_dp(cond_tokens)
+                txt, mask = _constrain_dp(txt), _constrain_dp(mask)
 
             if cfg_mode in ("rcfg", "rcfg-self"):
 
@@ -656,7 +675,8 @@ class EditPipeline:
             def body(i, x):
                 t = jnp.full((x.shape[0],), timesteps[i], jnp.float32)
                 if cfg_mode == "none":
-                    v = model_call(params, x, cond_tokens, t, txt, mask)
+                    v = model_call(params, _constrain_dp(x), cond_tokens, t,
+                                   txt, mask)
                 elif cfg_mode == "sequential":
                     pos = model_call(params, x, cond_tokens, t, txt, mask)
                     neg = model_call(params, x, cond_tokens, t, neg_txt, neg_mask)

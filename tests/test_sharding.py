@@ -432,3 +432,60 @@ def test_edit_many_under_tp_mesh(tiny_preset):
             np.asarray(res.latents, np.float32),
             np.asarray(ref.latents, np.float32),
             atol=2e-4, rtol=1e-3)
+
+
+def test_fast_mode_rows_dp_over_cfg_axis(tiny_preset, monkeypatch):
+    """Cond-only multi-row dispatches (num_images seed variations /
+    dynamic batching) must data-parallelize the ROW axis over the `cfg`
+    mesh axis — otherwise the hardware provisioned for the uncond branch
+    idles whenever CFG is off. Invariant: row-sharded result equals the
+    single-device result exactly (f32), and the dp constraint actually
+    fires in the traced graph."""
+    import dataclasses
+
+    from qwen_image_edit_streamdiffusion_tpu.core import imaging
+    from qwen_image_edit_streamdiffusion_tpu.core.config import (
+        StreamConfig,
+        get_preset,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    tiny_f32 = dataclasses.replace(
+        get_preset("tiny"),
+        model=dataclasses.replace(get_preset("tiny").model,
+                                  dtype="float32"),
+    )
+
+    dp_specs = []
+    orig = jax.lax.with_sharding_constraint
+
+    def spy(x, s):
+        dp_specs.append(getattr(s, "spec", None))
+        return orig(x, s)
+
+    def run(mesh):
+        cfg = StreamConfig(
+            width=64, height=64, vae_image_area=64 * 64,
+            vl_image_area=56 * 56, num_inference_steps=2,
+            model_preset="tiny", use_vl_encoder=False, dtype="float32",
+            mesh_cfg_axis=2 if mesh else 1,
+            mesh_model_axis=4 if mesh else 1,
+        )
+        pipe = EditPipeline.create(tiny_f32, config=cfg, seed=0, mesh=mesh)
+        img = imaging.make_test_image(64, 64, "circle")
+        # no negative prompt -> cfg_mode "none" (fast mode), 2 rows
+        return pipe(img, "stylize", num_images_per_prompt=2)
+
+    ref = run(None)
+    assert not dp_specs  # no mesh, no constraints
+
+    monkeypatch.setattr(jax.lax, "with_sharding_constraint", spy)
+    got = run(meshes.make_mesh(cfg_axis=2, model_axis=4))
+    assert any(s == P("cfg") for s in dp_specs), dp_specs
+
+    np.testing.assert_allclose(
+        np.asarray(got.latents, np.float32),
+        np.asarray(ref.latents, np.float32),
+        atol=2e-4, rtol=1e-3)
