@@ -585,7 +585,11 @@ class EditPipeline:
         # Shard the row axis over it instead: N rows cost N/cfg_size
         # model-rows of wall-clock per chip group, the same hardware the
         # 2-GPU reference dedicates to the uncond branch (SURVEY.md §2.4).
-        dp_rows = (cfg_mode == "none" and batch > 1 and has_axis(mesh, "cfg")
+        # The Residual-CFG modes are row-independent too (cond-only body;
+        # rcfg's peeled pair is 2N rows, still divisible), so guided
+        # multi-row traffic shards the same way.
+        dp_rows = (cfg_mode in ("none", "rcfg", "rcfg-self") and batch > 1
+                   and has_axis(mesh, "cfg")
                    and batch % mesh.shape["cfg"] == 0)
 
         def _constrain_dp(x):
@@ -616,7 +620,8 @@ class EditPipeline:
 
                 def pos_call(i, x):
                     t = jnp.full((x.shape[0],), timesteps[i], jnp.float32)
-                    return model_call(params, x, cond_tokens, t, txt, mask)
+                    return model_call(params, _constrain_dp(x), cond_tokens,
+                                      t, txt, mask)
 
                 if cfg_mode == "rcfg":
                     # Peeled first step: ONE batched cond+uncond pair
@@ -624,7 +629,8 @@ class EditPipeline:
                     # negative residual for the remaining steps.
                     i0 = start_step
                     x = x0
-                    pair = lambda a, b: jnp.concatenate([a, b], axis=0)
+                    pair = lambda a, b: _constrain_dp(
+                        jnp.concatenate([a, b], axis=0))
                     t2 = jnp.full((2 * x.shape[0],), timesteps[i0],
                                   jnp.float32)
                     v2 = model_call(params, pair(x, x),

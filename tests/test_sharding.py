@@ -489,3 +489,47 @@ def test_fast_mode_rows_dp_over_cfg_axis(tiny_preset, monkeypatch):
         np.asarray(got.latents, np.float32),
         np.asarray(ref.latents, np.float32),
         atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cfg_mode", ["rcfg", "rcfg-self"])
+def test_rcfg_rows_dp_over_cfg_axis(tiny_preset, cfg_mode):
+    """Residual-CFG multi-row dispatches shard rows over the cfg axis too
+    (cond-only bodies are row-independent; rcfg's peeled pair is 2N rows).
+    Mesh result must equal the single-device rcfg result exactly (f32)."""
+    import dataclasses
+
+    from qwen_image_edit_streamdiffusion_tpu.core import imaging
+    from qwen_image_edit_streamdiffusion_tpu.core.config import (
+        StreamConfig,
+        get_preset,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        EditPipeline,
+    )
+
+    tiny_f32 = dataclasses.replace(
+        get_preset("tiny"),
+        model=dataclasses.replace(get_preset("tiny").model,
+                                  dtype="float32"),
+    )
+
+    def run(mesh):
+        cfg = StreamConfig(
+            width=64, height=64, vae_image_area=64 * 64,
+            vl_image_area=56 * 56, num_inference_steps=2,
+            cfg_mode=cfg_mode, model_preset="tiny", use_vl_encoder=False,
+            dtype="float32",
+            mesh_cfg_axis=2 if mesh else 1,
+            mesh_model_axis=4 if mesh else 1,
+        )
+        pipe = EditPipeline.create(tiny_f32, config=cfg, seed=0, mesh=mesh)
+        img = imaging.make_test_image(64, 64, "circle")
+        return pipe(img, "stylize", negative_prompt="bad",
+                    true_cfg_scale=4.0, num_images_per_prompt=2)
+
+    ref = run(None)
+    got = run(meshes.make_mesh(cfg_axis=2, model_axis=4))
+    np.testing.assert_allclose(
+        np.asarray(got.latents, np.float32),
+        np.asarray(ref.latents, np.float32),
+        atol=2e-4, rtol=1e-3)
