@@ -56,6 +56,23 @@ from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
 # ---------------------------------------------------------------------------
 
 
+def _image_key(a: np.ndarray) -> str:
+    """Content hash for cross-request vision-output sharing (cheap vs a
+    vision-tower forward; same scheme as pipeline.cache.image_fingerprint,
+    re-stated here to keep models/ free of pipeline/ imports)."""
+    a = np.ascontiguousarray(a)
+    h = hashlib.sha1()
+    h.update(str(a.shape).encode())
+    h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def _row_bucket(n: int) -> int:
+    """Batch-row bucket {1,2,4,8,16} (matching the denoise row buckets) so
+    wave sizes 3/5/6/7 don't each compile a distinct batched graph."""
+    return next((b for b in (1, 2, 4, 8, 16) if b >= n), n)
+
+
 def _swiglu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
 
@@ -622,65 +639,205 @@ class QwenVLEncoder:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    # -- batched twins (cross-request coalescing) -------------------------
+
+    def _vision_fn_batched(self, gh: int, gw: int, b: int):
+        """vmapped twin of :meth:`_vision_fn`: B same-grid uint8 images in
+        one dispatch. Used by :meth:`encode_many` so a dynamic-batch wave
+        of requests pays ONE vision-tower dispatch instead of B — at the
+        batch-1 shapes the tower's GEMMs underutilize the MXU, so the
+        batched graph costs well under B× the single one."""
+        key = ("vision_b", gh, gw, b)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            dtype = jnp.dtype(cfg.dtype)
+
+            @jax.jit
+            def run(params, imgs_u8):
+                def one(img_u8):
+                    patches = patches_from_image(img_u8, cfg, gh, gw, dtype)
+                    return vision_forward(params, cfg, patches, gh, gw)
+
+                return jax.vmap(one)(imgs_u8)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _lm_fn_batched(self, l: int, vision_starts: Tuple[int, ...],
+                       vt_shapes: Tuple, b: int):
+        """vmapped twin of :meth:`_lm_fn`: B same-bucket/template requests
+        (per-row ids, M-RoPE tables, masks and vision tokens) in one LM
+        dispatch. The decoder at one 128-token row leaves most MXU rows
+        idle; batching the wave recovers them."""
+        key = ("lm_b", l, vision_starts, vt_shapes, self.use_flash, b)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            use_flash = self.use_flash
+            starts = vision_starts
+
+            @jax.jit
+            def run(params, ids_arr, cos, sin, mask, *vts):
+                def one(ids1, cos1, sin1, mask1, *vts1):
+                    emb = jnp.take(params["embed"], ids1, axis=0,
+                                   mode="clip")
+                    for s, vt in zip(starts, vts1):
+                        emb = jax.lax.dynamic_update_slice(
+                            emb, vt.astype(emb.dtype), (s, 0)
+                        )
+                    return lm_forward(params, cfg, emb, cos1, sin1, mask1,
+                                      use_flash=use_flash)
+
+                return jax.vmap(one)(ids_arr, cos, sin, mask, *vts)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
     # -- main entry ------------------------------------------------------
 
     def encode(self, prompt: str, images: Sequence[np.ndarray] = ()
                ) -> PromptEmbedding:
+        return self.encode_many([(prompt, tuple(images))])[0]
+
+    def encode_many(
+        self, requests: Sequence[Tuple[str, Sequence[np.ndarray]]]
+    ) -> List[PromptEmbedding]:
+        """Encode several (prompt, images) requests, coalescing device
+        work across the wave (the engine's dynamic-batch leader and the
+        pipeline's CFG pos+neg pair call this):
+
+        - identical images (by content hash) run the vision tower ONCE —
+          a CFG request's positive and negative prompts share the same
+          condition images, so this alone halves vision work per CFG edit;
+        - distinct same-grid images batch into one vmapped vision dispatch;
+        - same-(bucket, template) requests batch into one vmapped LM
+          dispatch.
+
+        Single-member groups use the exact same jit graphs as
+        :meth:`encode` — a 1-request wave is bit-identical to the old
+        per-request path. Batched groups pad to {2, 4, 8, 16} row buckets
+        (repeating the last row) so the compiled-graph set stays bounded;
+        padded rows are dropped before returning."""
         cfg = self.cfg
         tok = self.tokenizer
 
-        vision_tokens: List[jnp.ndarray] = []
-        grids: List[Tuple[int, int]] = []
-        for img in images:
-            arr8, gh, gw = resize_for_vl(np.asarray(img), cfg)
-            vt = self._vision_fn(gh, gw)(
-                self.params["vision"], jnp.asarray(arr8)
+        # Phase A (host): resize + dedup images by content hash.
+        uniq: Dict[str, list] = {}  # fp -> [arr8, gh, gw]
+        req_fps: List[List[str]] = []
+        for prompt, images in requests:
+            fps = []
+            for img in images:
+                a = np.asarray(img)
+                fp = _image_key(a)
+                if fp not in uniq:
+                    arr8, gh, gw = resize_for_vl(a, cfg)
+                    uniq[fp] = [arr8, gh, gw]
+                fps.append(fp)
+            req_fps.append(fps)
+
+        # Phase B (device): vision tower over unique images, batched per
+        # grid. Slices of a batched output are lazy device views.
+        by_grid: Dict[Tuple[int, int], List[str]] = {}
+        for fp, (_, gh, gw) in uniq.items():
+            by_grid.setdefault((gh, gw), []).append(fp)
+        vt_by_fp: Dict[str, jnp.ndarray] = {}
+        for (gh, gw), fps in by_grid.items():
+            if len(fps) == 1:
+                fp = fps[0]
+                vt_by_fp[fp] = self._vision_fn(gh, gw)(
+                    self.params["vision"], jnp.asarray(uniq[fp][0])
+                )
+                continue
+            b = _row_bucket(len(fps))
+            arrs = [uniq[fp][0] for fp in fps]
+            arrs += [arrs[-1]] * (b - len(arrs))
+            out = self._vision_fn_batched(gh, gw, b)(
+                self.params["vision"], jnp.asarray(np.stack(arrs))
             )
-            vision_tokens.append(vt)
-            grids.append((gh, gw))
+            for i, fp in enumerate(fps):
+                vt_by_fp[fp] = out[i]
 
-        ids, vision_starts, drop_len = build_chat_ids(
-            tok, prompt, [int(vt.shape[0]) for vt in vision_tokens],
-            drop_idx=self.drop_idx,
-        )
-
-        # M-RoPE positions: vision spans interleave text
-        pos = _positions_from_ids(cfg, ids, grids)
-
+        # Phase C (host): chat ids, M-RoPE tables, length bucketing.
         # Bucket the sequence length (pad + mask) so prompt-length changes
         # never retrace ANY graph — on TPU a retrace costs minutes
-        # (SURVEY.md §7.3 item 3). All padding happens host-side in numpy;
-        # embedding assembly below is one jitted dispatch. 128-token
-        # granularity: the template + one image's vision span is ~290
-        # tokens, so every instruction up to ~90 tokens lands in the SAME
-        # bucket as the server's warmup prompt — a finer 32-bucket made
-        # the first request of each new prompt length pay a multi-second
-        # LM-graph compile (measured: 4.4 s first /edit vs 0.63 s p50).
-        n_real = len(ids)
-        bucket = 128
-        l = max(bucket, -(-n_real // bucket) * bucket)
-        ids_padded = np.zeros((l,), np.int32)
-        ids_padded[:n_real] = np.asarray(ids, np.int32)
-        if l > n_real:
-            last = pos[:, -1:]
-            pos = np.concatenate(
-                [pos, last + np.arange(1, l - n_real + 1)[None, :]], axis=1
+        # (SURVEY.md §7.3 item 3). 128-token granularity: the template +
+        # one image's vision span is ~290 tokens, so every instruction up
+        # to ~90 tokens lands in the SAME bucket as the server's warmup
+        # prompt — a finer 32-bucket made the first request of each new
+        # prompt length pay a multi-second LM-graph compile (measured:
+        # 4.4 s first /edit vs 0.63 s p50).
+        recs = []
+        for (prompt, _images), fps in zip(requests, req_fps):
+            vts = [vt_by_fp[fp] for fp in fps]
+            grids = [(uniq[fp][1], uniq[fp][2]) for fp in fps]
+            ids, vision_starts, drop_len = build_chat_ids(
+                tok, prompt, [int(vt.shape[0]) for vt in vts],
+                drop_idx=self.drop_idx,
             )
-        attn_mask = np.zeros((l,), bool)
-        attn_mask[:n_real] = True
-        cos_np, sin_np = _mrope_tables(cfg, pos)
+            pos = _positions_from_ids(cfg, ids, grids)
+            n_real = len(ids)
+            bucket = 128
+            l = max(bucket, -(-n_real // bucket) * bucket)
+            ids_padded = np.zeros((l,), np.int32)
+            ids_padded[:n_real] = np.asarray(ids, np.int32)
+            if l > n_real:
+                last = pos[:, -1:]
+                pos = np.concatenate(
+                    [pos, last + np.arange(1, l - n_real + 1)[None, :]],
+                    axis=1,
+                )
+            attn_mask = np.zeros((l,), bool)
+            attn_mask[:n_real] = True
+            cos_np, sin_np = _mrope_tables(cfg, pos)
+            recs.append({
+                "key": (l, tuple(vision_starts),
+                        tuple(vt.shape for vt in vts)),
+                "ids": ids_padded, "cos": cos_np, "sin": sin_np,
+                "mask": attn_mask, "vts": vts,
+                "drop": drop_len, "n_real": n_real,
+            })
 
-        hidden = self._lm_fn(
-            l, tuple(vision_starts),
-            tuple(vt.shape for vt in vision_tokens),
-        )(
-            self.params["lm"], jnp.asarray(ids_padded), jnp.asarray(cos_np),
-            jnp.asarray(sin_np), jnp.asarray(attn_mask), *vision_tokens
-        )
-        # Stay on device: fetching the (L, hidden) embeddings to host costs
-        # ~60 ms over the axon tunnel for the 7B config and the pipeline
-        # puts them straight back on device anyway. Slicing/padding are
-        # async dispatches; the mask is host-derived (static lengths).
+        # Phase D (device): LM forward, batched per (bucket, template).
+        groups: Dict[Tuple, List[int]] = {}
+        for i, r in enumerate(recs):
+            groups.setdefault(r["key"], []).append(i)
+        hidden_by_idx: Dict[int, jnp.ndarray] = {}
+        for (l, starts, vt_shapes), idxs in groups.items():
+            if len(idxs) == 1:
+                r = recs[idxs[0]]
+                hidden_by_idx[idxs[0]] = self._lm_fn(l, starts, vt_shapes)(
+                    self.params["lm"], jnp.asarray(r["ids"]),
+                    jnp.asarray(r["cos"]), jnp.asarray(r["sin"]),
+                    jnp.asarray(r["mask"]), *r["vts"]
+                )
+                continue
+            b = _row_bucket(len(idxs))
+            sel = idxs + [idxs[-1]] * (b - len(idxs))
+            ids = jnp.asarray(np.stack([recs[j]["ids"] for j in sel]))
+            cos = jnp.asarray(np.stack([recs[j]["cos"] for j in sel]))
+            sin = jnp.asarray(np.stack([recs[j]["sin"] for j in sel]))
+            mask = jnp.asarray(np.stack([recs[j]["mask"] for j in sel]))
+            vts = tuple(
+                jnp.stack([recs[j]["vts"][t] for j in sel])
+                for t in range(len(vt_shapes))
+            )
+            out = self._lm_fn_batched(l, starts, vt_shapes, b)(
+                self.params["lm"], ids, cos, sin, mask, *vts
+            )
+            for row, j in enumerate(idxs):
+                hidden_by_idx[j] = out[row]
+
+        # Phase E: per-request finalize. Stay on device: fetching the
+        # (L, hidden) embeddings to host costs ~60 ms over the axon tunnel
+        # for the 7B config and the pipeline puts them straight back on
+        # device anyway. Slicing/padding are async dispatches; the mask is
+        # host-derived (static lengths).
+        return [
+            self._finalize_hidden(hidden_by_idx[i], r["drop"], r["n_real"])
+            for i, r in enumerate(recs)
+        ]
+
+    def _finalize_hidden(self, hidden: jnp.ndarray, drop_len: int,
+                         n_real: int) -> PromptEmbedding:
         n = n_real - drop_len
         if n > self.max_len:
             import warnings

@@ -66,6 +66,19 @@ class PromptEncoder(Protocol):
         ...
 
 
+def encode_many(encoder, requests):
+    """Encode a wave of (prompt, images) requests through ``encoder``,
+    using its batched ``encode_many`` when it has one (QwenVLEncoder
+    coalesces the wave into shared vision work + vmapped LM dispatches)
+    and falling back to a sequential loop otherwise. Callers (the edit
+    pipeline's CFG pair, the engine's dynamic-batch leader) stay agnostic
+    of the encoder implementation."""
+    fn = getattr(encoder, "encode_many", None)
+    if fn is not None:
+        return fn(requests)
+    return [encoder.encode(p, imgs) for p, imgs in requests]
+
+
 def _hash_floats(token: str, dim: int, salt: str = "") -> np.ndarray:
     """Deterministic pseudo-embedding row for a token."""
     seed = int.from_bytes(
@@ -110,3 +123,8 @@ class StubEncoder:
         mask = np.zeros((self.max_len,), bool)
         mask[:n] = True
         return PromptEmbedding(embeds=embeds, mask=mask)
+
+    def encode_many(self, requests) -> List[PromptEmbedding]:
+        """Protocol parity with QwenVLEncoder.encode_many (no batching to
+        exploit in the host-side stub — a plain loop)."""
+        return [self.encode(p, imgs) for p, imgs in requests]

@@ -87,6 +87,36 @@ class PromptCache:
         self.cache.put(k, emb)
         return emb
 
+    def encode_many(self, requests):
+        """Wave-of-requests twin of :meth:`encode`: per-item cache lookup,
+        misses deduplicated within the wave (a dynamic batch's items often
+        share the negative prompt + image) and encoded in ONE batched
+        encoder call (models.text_encoder.encode_many)."""
+        from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
+            encode_many as _encode_many,
+        )
+
+        out: list = [None] * len(requests)
+        miss_by_key: dict = {}
+        for i, (prompt, images) in enumerate(requests):
+            k = self.key(prompt, images)
+            hit = self.cache.get(k)
+            if hit is not None:
+                out[i] = hit
+            else:
+                miss_by_key.setdefault(k, []).append(i)
+        if miss_by_key:
+            keys = list(miss_by_key)
+            embs = _encode_many(
+                self.encoder,
+                [requests[idxs[0]] for idxs in miss_by_key.values()],
+            )
+            for k, emb in zip(keys, embs):
+                self.cache.put(k, emb)
+                for i in miss_by_key[k]:
+                    out[i] = emb
+        return out
+
     def stats(self) -> dict:
         return self.cache.stats()
 
@@ -105,6 +135,14 @@ class LatentCache:
         val = encode_fn(arrays)
         self.cache.put(k, val)
         return val
+
+    def lookup(self, arrays: Sequence[np.ndarray]):
+        """Cache probe without an encode fallback (the batched condition
+        encoder collects all misses first, then encodes them together)."""
+        return self.cache.get(tuple(image_fingerprint(a) for a in arrays))
+
+    def store(self, arrays: Sequence[np.ndarray], val) -> None:
+        self.cache.put(tuple(image_fingerprint(a) for a in arrays), val)
 
     def stats(self) -> dict:
         return self.cache.stats()

@@ -763,6 +763,84 @@ class EditPipeline:
             return tokens[0], shapes
         return jnp.concatenate(tokens, axis=1), shapes
 
+    def _encode_prompts(self, requests):
+        """Encode a wave of (prompt, vl_images) requests, coalescing VL
+        device work (shared vision outputs for identical images, vmapped
+        LM groups — models.qwen_vl.encode_many). A CFG edit's pos+neg
+        pair and a dynamic batch's items both route through here."""
+        if self.prompt_cache is not None:
+            return self.prompt_cache.encode_many(requests)
+        from qwen_image_edit_streamdiffusion_tpu.models.text_encoder import (
+            encode_many,
+        )
+
+        return encode_many(self.encoder, requests)
+
+    def _encode_conditions_many(self, waves: List[List[np.ndarray]]):
+        """Condition latents for several items' ``vae_images`` lists with
+        coalesced VAE-encode dispatches: per-item latent-LRU probe first;
+        the remaining (item, image) encodes are deduplicated by content
+        hash and batched per resolution — a dynamic-batch wave of K
+        cache-miss requests pays ONE VAE-encode dispatch (exact batch
+        size: a padded row would cost a full ~80 ms encode, unlike the
+        denoise loop's cheap padded rows). Returns one
+        (cond_tokens, cond_shapes) per item, identical to
+        :meth:`encode_condition_latents` row-for-row."""
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
+            image_fingerprint,
+        )
+
+        out: List[Any] = [None] * len(waves)
+        misses = []
+        for i, imgs in enumerate(waves):
+            hit = (self.latent_cache.lookup(imgs)
+                   if self.latent_cache is not None else None)
+            if hit is not None:
+                out[i] = hit
+            else:
+                misses.append(i)
+        if not misses:
+            return out
+
+        yuv = self.config.transfer_format == "yuv420"
+        uniq: Dict[str, np.ndarray] = {}
+        item_fps: Dict[int, List[str]] = {}
+        for i in misses:
+            fps = []
+            for arr in waves[i]:
+                fp = image_fingerprint(arr)
+                uniq.setdefault(fp, arr)
+                fps.append(fp)
+            item_fps[i] = fps
+
+        by_hw: Dict[Tuple[int, int], List[str]] = {}
+        for fp, arr in uniq.items():
+            by_hw.setdefault(tuple(arr.shape[:2]), []).append(fp)
+        tok_by_fp: Dict[str, jnp.ndarray] = {}
+        for hw, fps in by_hw.items():
+            if yuv:
+                xs = [colorspace.pack_yuv420_host(uniq[fp]) for fp in fps]
+                enc = self._vae_encode_fn(hw, "yuv420")
+            else:
+                xs = [np.asarray(uniq[fp], np.uint8) for fp in fps]
+                enc = self._vae_encode_fn(hw)
+            toks = enc(self.vae_params, jnp.asarray(np.stack(xs)))
+            for r, fp in enumerate(fps):
+                tok_by_fp[fp] = toks[r:r + 1]
+
+        for i in misses:
+            toks = [tok_by_fp[fp] for fp in item_fps[i]]
+            shapes = [
+                (1, (a.shape[0] // 8) // 2, (a.shape[1] // 8) // 2)
+                for a in waves[i]
+            ]
+            val = (toks[0] if len(toks) == 1
+                   else jnp.concatenate(toks, axis=1), shapes)
+            out[i] = val
+            if self.latent_cache is not None:
+                self.latent_cache.store(waves[i], val)
+        return out
+
     # ------------------------------------------------------------------
     # Main entry
     # ------------------------------------------------------------------
@@ -815,13 +893,17 @@ class EditPipeline:
 
         # Prompt conditioning (the VL encoder sees text + images). Cached on
         # (prompt, image-hash) — cached_pipeline_v2 semantics (SURVEY.md §0.1).
-        encode_prompt = (self.prompt_cache.encode if self.prompt_cache
-                         else self.encoder.encode)
-        emb = encode_prompt(prompt, vl_images)
+        # A CFG edit encodes pos+neg as ONE wave: the vision tower runs once
+        # over the shared condition images and the two LM forwards batch.
+        if do_cfg:
+            emb, neg = self._encode_prompts(
+                [(prompt, vl_images), (negative_prompt, vl_images)]
+            )
+        else:
+            emb = self._encode_prompts([(prompt, vl_images)])[0]
         txt = jnp.asarray(emb.embeds, jnp.dtype(self.preset.model.dtype))[None]
         mask = jnp.asarray(emb.mask)[None]
         if do_cfg:
-            neg = encode_prompt(negative_prompt, vl_images)
             neg_txt = jnp.asarray(
                 neg.embeds, jnp.dtype(self.preset.model.dtype)
             )[None]
@@ -904,12 +986,11 @@ class EditPipeline:
         steps = num_inference_steps or self.config.num_inference_steps
         cfg_scale = (true_cfg_scale if true_cfg_scale is not None
                      else self.config.true_cfg_scale)
-        encode_prompt = (self.prompt_cache.encode if self.prompt_cache
-                         else self.encoder.encode)
         mdt = jnp.dtype(self.preset.model.dtype)
 
-        prepped = []
-        geom = None
+        # Pass 1 (host): preprocess + gather the wave's encode requests.
+        metas = []
+        enc_reqs: List[Tuple[str, List[np.ndarray]]] = []
         for it in items:
             image = it["image"]
             images = ([image] if isinstance(image, Image.Image)
@@ -918,21 +999,39 @@ class EditPipeline:
             do_cfg = negative_prompt is not None and cfg_scale > 1.0
             out_h, out_w, vae_images, vl_images = self._prepare_images(
                 images, it.get("height"), it.get("width"))
-            emb = encode_prompt(it["prompt"], vl_images)
+            pos_i = len(enc_reqs)
+            enc_reqs.append((it["prompt"], vl_images))
+            neg_i = None
+            if do_cfg:
+                neg_i = len(enc_reqs)
+                enc_reqs.append((negative_prompt, vl_images))
+            metas.append((it, do_cfg, out_h, out_w, vae_images,
+                          pos_i, neg_i))
+
+        # Pass 2 (device, coalesced): ONE VL-encode wave for every item's
+        # pos (and neg) prompt — shared vision-tower outputs + vmapped LM
+        # groups instead of 2K serial encodes — and ONE batched VAE encode
+        # per resolution for the latent-cache misses. At the 20B preset
+        # these per-item encodes are the serialized leader cost that
+        # erased dynamic batching's throughput win (CLAUDE.md r3 notes).
+        embs = self._encode_prompts(enc_reqs)
+        conds = self._encode_conditions_many([m[4] for m in metas])
+
+        # Pass 3 (host): assemble per-item rows + geometry check.
+        prepped = []
+        geom = None
+        for (it, do_cfg, out_h, out_w, _vae, pos_i, neg_i), cond in zip(
+                metas, conds):
+            cond_tokens, cond_shapes = cond
+            emb = embs[pos_i]
             txt = jnp.asarray(emb.embeds, mdt)[None]
             mask = jnp.asarray(emb.mask)[None]
             if do_cfg:
-                neg = encode_prompt(negative_prompt, vl_images)
+                neg = embs[neg_i]
                 neg_txt = jnp.asarray(neg.embeds, mdt)[None]
                 neg_mask = jnp.asarray(neg.mask)[None]
             else:
                 neg_txt, neg_mask = txt, mask
-            if self.latent_cache is not None:
-                cond_tokens, cond_shapes = self.latent_cache.get_or_encode(
-                    vae_images, self.encode_condition_latents)
-            else:
-                cond_tokens, cond_shapes = self.encode_condition_latents(
-                    vae_images)
             g = (out_h, out_w, tuple(cond_shapes), do_cfg)
             if geom is None:
                 geom = g

@@ -317,3 +317,23 @@ def test_num_images_per_prompt(pipe, test_img):
                num_images_per_prompt=2)
     assert len(cfg.images) == 2
     assert np.isfinite(np.asarray(cfg.images[0], np.float32)).all()
+
+
+def test_encode_conditions_many_matches_per_item(pipe):
+    """The coalesced condition VAE encode (one batched dispatch per
+    resolution, content-deduplicated) must reproduce each item's
+    individual encode_condition_latents output."""
+    img_a = np.asarray(imaging.make_test_image(64, 64, "gradient"))
+    img_b = np.asarray(imaging.make_test_image(64, 64, "circle"))
+    waves = [[img_a], [img_b], [img_a]]  # dedup: img_a appears twice
+    pipe.latent_cache.cache._d.clear()
+    batched = pipe._encode_conditions_many(waves)
+    for imgs, (tok, shapes) in zip(waves, batched):
+        solo_tok, solo_shapes = pipe.encode_condition_latents(imgs)
+        assert shapes == solo_shapes
+        np.testing.assert_allclose(
+            np.asarray(tok, np.float32), np.asarray(solo_tok, np.float32),
+            rtol=2e-2, atol=2e-2)  # batched-conv reduction order (bf16)
+    # results were cached per item
+    assert pipe.latent_cache.lookup([img_a]) is not None
+    assert pipe.latent_cache.lookup([img_b]) is not None

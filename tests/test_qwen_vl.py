@@ -284,3 +284,100 @@ def test_patches_from_image_matches_extract_patches(tiny_preset):
     assert (gh, gw) == (gh2, gw2)
     dev = qwen_vl.patches_from_image(jnp.asarray(arr8), cfg, gh, gw)
     np.testing.assert_allclose(np.asarray(dev), ref, atol=1e-6, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Batched wave encoding (encode_many — the dynamic-batch leader's VL path)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_many_matches_sequential(enc):
+    """A coalesced wave (batched vision + vmapped LM groups) must match
+    per-request encode() — same graphs for singleton groups, batched-GEMM
+    reduction-order tolerance for vmapped ones."""
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    img_b = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    reqs = [
+        ("oil painting", (img_a,)),
+        ("pencil sketch with many extra words to land in a longer text "
+         "bucket than the others so the wave spans two LM groups "
+         + "pad " * 40, (img_b,)),
+        ("watercolor", (img_a,)),
+        ("make it glow", (img_b,)),
+    ]
+    batch = enc.encode_many(reqs)
+    for (p, imgs), got in zip(reqs, batch):
+        solo = enc.encode(p, imgs)
+        assert got.embeds.shape == solo.embeds.shape
+        np.testing.assert_array_equal(got.mask, solo.mask)
+        np.testing.assert_allclose(
+            np.asarray(got.embeds), np.asarray(solo.embeds),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_encode_many_shares_vision_work(enc, monkeypatch):
+    """Identical images (a CFG request's pos+neg prompts) must run the
+    vision tower ONCE per unique image — count vision dispatches."""
+    calls = {"n": 0}
+    orig = enc._vision_fn
+
+    def counting(gh, gw):
+        fn = orig(gh, gw)
+
+        def wrapped(params, img):
+            calls["n"] += 1
+            return fn(params, img)
+
+        return wrapped
+
+    monkeypatch.setattr(enc, "_vision_fn", counting)
+    img = np.random.default_rng(11).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    enc.encode_many([("bright", (img,)), ("dark, blurry", (img,))])
+    assert calls["n"] == 1  # one unique image → one (unbatched) dispatch
+
+
+def test_encode_many_single_is_bit_equal(enc):
+    """A 1-request wave routes through the exact same jit graphs as
+    encode() — bit-identical output (goldens stay valid)."""
+    img = np.random.default_rng(13).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    a = enc.encode("stylize", [img])
+    b = enc.encode_many([("stylize", (img,))])[0]
+    np.testing.assert_array_equal(np.asarray(a.embeds), np.asarray(b.embeds))
+    np.testing.assert_array_equal(a.mask, b.mask)
+
+
+def test_prompt_cache_encode_many_dedups_and_caches(tiny_preset):
+    """PromptCache.encode_many: hits skip the encoder; duplicate wave
+    entries encode once; results land in the cache."""
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import PromptCache
+
+    class Counting:
+        joint_dim = tiny_preset.vl.hidden_size
+        max_len = 64
+
+        def __init__(self):
+            self.inner = QwenVLEncoder(tiny_preset.vl, seed=0, max_len=64)
+            self.waves = []
+
+        def encode_many(self, requests):
+            self.waves.append(len(requests))
+            return self.inner.encode_many(requests)
+
+        def encode(self, prompt, images=()):
+            return self.encode_many([(prompt, tuple(images))])[0]
+
+    counting = Counting()
+    pc = PromptCache(counting)
+    img = np.random.default_rng(17).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    reqs = [("bright", (img,)), ("ugly", (img,)), ("ugly", (img,))]
+    out1 = pc.encode_many(reqs)
+    assert counting.waves == [2]  # "ugly" deduped within the wave
+    out2 = pc.encode_many(reqs)
+    assert counting.waves == [2]  # all hits — no second encoder call
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a.embeds),
+                                      np.asarray(b.embeds))
