@@ -77,7 +77,7 @@ def sharded_flash_attention(
         kv_mask = jnp.ones((q.shape[0], k.shape[2]), bool)
 
     fn = jax.shard_map(
-        lambda q_, k_, v_, m_: fa.flash_attention(
+        lambda q_, k_, v_, m_: fa.flash_attention_auto(
             q_, k_, v_, kv_mask=m_, interpret=interpret, mask_len=mask_len
         ),
         mesh=mesh,
@@ -118,7 +118,10 @@ def attention(
             return sharded_flash_attention(q, k, v, kv_mask, mesh,
                                            mask_len=mask_len)
         if flash_attention.supported(q, k, v):
-            return flash_attention.flash_attention(
+            # auto: differentiable custom-VJP wrapper for eligible shapes
+            # (identical primal; the FlashAttention-2 backward kernels only
+            # engage under jax.grad — the LoRA training path)
+            return flash_attention.flash_attention_auto(
                 q, k, v, kv_mask=kv_mask, mask_len=mask_len
             )
         _warn_fallback_once(q)

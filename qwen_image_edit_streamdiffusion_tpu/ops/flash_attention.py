@@ -391,6 +391,440 @@ _BF16_SCORES = os.environ.get("QIE_FLASH_BF16_SCORES", "") == "1"
 _PIPELINE = os.environ.get("QIE_FLASH_PIPELINE", "0") == "1"
 
 
+# --------------------------------------------------------------------------
+# Training path: custom VJP with FlashAttention-2-style backward kernels.
+#
+# The reference never trains (SURVEY §5.4 "inference-only"); this exists for
+# the LoRA fine-tune harness (training/lora_train.py) so the 20B train step
+# keeps the flash memory profile — the XLA backward would materialize the
+# (L, L) score matrix per block (~7 GB/layer at the 1024² joint shape) and
+# the train step would not fit a v5e chip group.
+#
+# Math: the forward runs softmax in the base-2 domain with q pre-scaled by
+# d^-1/2·log2(e), carrying the running max m and row-sum l in that domain;
+# the saved residual is LSE₂ = m + log2(l), so P = exp2(S₂ − LSE₂) is
+# recomputed per block in the backward (never stored). With S_nat = S₂·ln2:
+#   dS_nat = P ⊙ (dP − Δ),  Δ = rowsum(dO ⊙ O)
+#   dq = (dS_nat @ K)·scale          (K raw)
+#   dk = (dS_natᵀ @ Q_pre)·ln2       (Q_pre = q·scale·log2e — ·ln2 undoes it
+#                                     up to the ·scale the gradient needs)
+#   dv = Pᵀ @ dO
+# Both backward kernels use the reduction-grid pattern: the innermost grid
+# dimension sweeps the contraction blocks while the output block index stays
+# fixed, so Mosaic keeps the f32 accumulator resident in VMEM across the
+# sweep and every operand is a small double-buffered block (no full-K/V
+# residency — the backward also covers sequences the resident forward
+# kernel cannot hold).
+# --------------------------------------------------------------------------
+
+# lane-broadcast width for per-row LSE/Δ side arrays: f32 min tile is
+# (8, 128), so scalars-per-row are stored broadcast across one 128-lane
+# register (the layout jax.experimental.pallas.ops.tpu.flash_attention uses)
+_LANES = 128
+
+
+def _flash_kernel_fwd_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                          scale, block_k, num_heads, n_masked_lo,
+                          n_unmasked_hi):
+    """Resident forward + LSE residual for the VJP (mirrors _flash_kernel
+    with score_dtype=f32; emits LSE₂ = m + log2(l) per q row)."""
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2]
+    lk = k_ref.shape[1]
+    nk = lk // block_k
+    batch_row = pl.program_id(0) // num_heads
+
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+
+    def make_body(masked):
+        def body(j, carry):
+            acc, m, l = carry
+            k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
+            v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if masked:
+                mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, mask_all.shape, 0
+                )
+                mask_blk = jnp.max(
+                    jnp.where(rows == batch_row,
+                              mask_all.astype(jnp.int32), 0),
+                    axis=0,
+                )
+                s = jnp.where(mask_blk[None, :] != 0, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2((s - m_new).astype(v_blk.dtype))
+            alpha = jnp.exp2(m - m_new)
+            l_new = l * alpha + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc_new, m_new, l_new
+
+        return body
+
+    carry = (
+        jnp.zeros((bq, d), jnp.float32),
+        jnp.full((bq, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((bq, 1), jnp.float32),
+    )
+    lo, hi = n_masked_lo, max(n_masked_lo, n_unmasked_hi)
+    carry = jax.lax.fori_loop(0, lo, make_body(True), carry)
+    carry = jax.lax.fori_loop(lo, hi, make_body(False), carry)
+    carry = jax.lax.fori_loop(hi, nk, make_body(True), carry)
+    acc, m, l = carry
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # fully-masked rows (cannot happen for the joint stream — image keys
+    # are never masked — but keep the backward safe): LSE = +big ⇒ P ≡ 0
+    lse = jnp.where(l > 0.0, m + jnp.log2(jnp.maximum(l, 1e-30)), 1e30)
+    lse_ref[0] = jnp.broadcast_to(lse, (bq, _LANES))
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         mask_ref, dq_ref, *, scale, block_k, num_heads,
+                         n_masked_lo, n_unmasked_hi):
+    """Grid (B·H, nq, nk) — nk innermost, dq block accumulates in VMEM.
+
+    q_ref arrives PRE-SCALED (scale·log2e); k_ref is raw, so
+    dq += (dS_nat @ K)·scale with the ·scale folded into dS before the
+    bf16 cast feeding the MXU."""
+    j = pl.program_id(2)
+    batch_row = pl.program_id(0) // num_heads
+    bq = q_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    # the block index is a traced program id here (no fori bounds to prune
+    # statically as the forward does), so the mask select runs on every
+    # block gated by a cheap scalar predicate — backward is MXU-dominated
+    # (3 dots/block), the extra VPU select is noise
+    needs_mask = jnp.logical_or(j < n_masked_lo,
+                                j >= max(n_masked_lo, n_unmasked_hi))
+    mask_all = mask_ref[:, pl.ds(j * block_k, block_k)]
+    rows = jax.lax.broadcasted_iota(jnp.int32, mask_all.shape, 0)
+    mask_blk = jnp.max(
+        jnp.where(rows == batch_row, mask_all.astype(jnp.int32), 0),
+        axis=0,
+    )
+    dead = jnp.logical_and(needs_mask, mask_blk[None, :] == 0)
+    s = jnp.where(dead, _NEG_INF, s)
+    lse = lse_ref[0, :, 0:1]      # (bq, 1)
+    delta = delta_ref[0, :, 0:1]  # (bq, 1)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq_ref[0] += jax.lax.dot_general(
+        (ds * scale).astype(k_ref.dtype), k_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+_LN2 = 0.6931471805599453
+
+
+def _flash_bwd_dkv_kernel(q_ref, do_ref, k_ref, v_ref, lse_ref, delta_ref,
+                          mask_ref, dk_ref, dv_ref, *, block_k, num_heads,
+                          n_masked_lo, n_unmasked_hi):
+    """Grid (B·H, nk, nq) — nq innermost, dk/dv blocks accumulate in VMEM.
+
+    q_ref arrives PRE-SCALED, so dk = (dS_natᵀ @ Q_pre)·ln2 (·ln2 cancels
+    the log2e in Q_pre, leaving the ·scale the gradient needs)."""
+    jk = pl.program_id(1)
+    i = pl.program_id(2)
+    batch_row = pl.program_id(0) // num_heads
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    needs_mask = jnp.logical_or(jk < n_masked_lo,
+                                jk >= max(n_masked_lo, n_unmasked_hi))
+    mask_all = mask_ref[:, pl.ds(jk * block_k, block_k)]
+    rows = jax.lax.broadcasted_iota(jnp.int32, mask_all.shape, 0)
+    mask_blk = jnp.max(
+        jnp.where(rows == batch_row, mask_all.astype(jnp.int32), 0), axis=0,
+    )
+    dead = jnp.logical_and(needs_mask, mask_blk[None, :] == 0)
+    s = jnp.where(dead, _NEG_INF, s)
+
+    lse = lse_ref[0, :, 0:1]
+    delta = delta_ref[0, :, 0:1]
+    p = jnp.exp2(s - lse)  # (bq, bk) f32
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, d)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dk_ref[0] += jax.lax.dot_general(
+        (ds * _LN2).astype(q_ref.dtype), q_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_len", "block_q", "block_k", "interpret"),
+)
+def _flash_fwd_lse(q, k, v, maskf, mask_len, block_q=None, block_k=None,
+                   interpret=False):
+    """Forward returning (out, lse₂) — the VJP's fwd. Same padding/pruning
+    plumbing as the inference entry point; resident kernel only."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bq = min(block_q or DEFAULT_BLOCK_Q,
+             max(128, 1 << (lq - 1).bit_length()))
+    bk = min(block_k or DEFAULT_BLOCK_K,
+             max(128, 1 << (lk - 1).bit_length()))
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, bq)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, bk)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, bk)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    nk = lk_p // bk
+    mask = _pad_to((maskf > 0).astype(jnp.int8), 1, bk)
+    bound = lk if mask_len is None else mask_len
+    n_masked_lo = min(nk, -(-bound // bk))
+    n_unmasked_hi = nk - 1 if lk_p > lk else nk
+    scale = d ** -0.5
+    cost = pl.CostEstimate(
+        flops=4 * b * h * lq_p * lk_p * d,
+        bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+        transcendentals=b * h * lq_p * lk_p,
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_fwd_lse, scale=scale, block_k=bk,
+                          num_heads=h, n_masked_lo=n_masked_lo,
+                          n_unmasked_hi=n_unmasked_hi),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq_p, _LANES), jnp.float32),
+        ),
+        grid=(b * h, lq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lk_p), lambda bh, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qp, kp, vp, mask)
+    return out[:, :lq].reshape(b, h, lq, d), lse
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_len", "block_q", "block_k", "interpret"),
+)
+def _flash_bwd(q, k, v, o, lse, g, maskf, mask_len, block_q=None,
+               block_k=None, interpret=False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bq = min(block_q or DEFAULT_BLOCK_Q,
+             max(128, 1 << (lq - 1).bit_length()))
+    bk = min(block_k or DEFAULT_BLOCK_K,
+             max(128, 1 << (lk - 1).bit_length()))
+    scale = d ** -0.5
+    # identical prescale + rounding to the forward kernel's in-kernel pass,
+    # so the recomputed P matches the forward's bit-for-bit
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, bq)
+    qp = (qp.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, bk)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, bk)
+    dop = _pad_to(g.reshape(b * h, lq, d), 1, bq)
+    lq_p, lk_p = qp.shape[1], kp.shape[1]
+    nq, nk = lq_p // bq, lk_p // bk
+    mask = _pad_to((maskf > 0).astype(jnp.int8), 1, bk)
+    bound = lk if mask_len is None else mask_len
+    n_masked_lo = min(nk, -(-bound // bk))
+    n_unmasked_hi = nk - 1 if lk_p > lk else nk
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = _pad_to(delta.reshape(b * h, lq), 1, bq)
+    delta = jnp.broadcast_to(delta[..., None], (b * h, lq_p, _LANES))
+
+    common = dict(block_k=bk, num_heads=h, n_masked_lo=n_masked_lo,
+                  n_unmasked_hi=n_unmasked_hi)
+    bwd_cost = pl.CostEstimate(
+        flops=8 * b * h * lq_p * lk_p * d,
+        bytes_accessed=2 * (qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+        transcendentals=2 * b * h * lq_p * lk_p,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, **common),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), jnp.float32),
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi, kj: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, kj: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, kj: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bh, qi, kj: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, qi, kj: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, qi, kj: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lk_p), lambda bh, qi, kj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, kj: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=bwd_cost,
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta, mask)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), jnp.float32),
+        ),
+        grid=(b * h, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, kj, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bh, kj, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, kj, qi: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, kj, qi: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, kj, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, _LANES), lambda bh, kj, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lk_p), lambda bh, kj, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda bh, kj, qi: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, kj, qi: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=bwd_cost,
+        interpret=interpret,
+    )(qp, dop, kp, vp, lse, delta, mask)
+
+    dq = dq[:, :lq].reshape(b, h, lq, d).astype(q.dtype)
+    dk = dk[:, :lk].reshape(b, h, lk, d).astype(k.dtype)
+    dv = dv[:, :lk].reshape(b, h, lk, d).astype(v.dtype)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5))
+def _flash_diff(mask_len, q, k, v, maskf, interpret):
+    return flash_attention(q, k, v, kv_mask=maskf > 0, mask_len=mask_len,
+                           stream=False, interpret=interpret)
+
+
+def _flash_diff_fwd(mask_len, q, k, v, maskf, interpret):
+    out, lse = _flash_fwd_lse(q, k, v, maskf, mask_len, interpret=interpret)
+    return out, (q, k, v, out, lse, maskf)
+
+
+def _flash_diff_bwd(mask_len, interpret, res, g):
+    q, k, v, out, lse, maskf = res
+    dq, dk, dv = _flash_bwd(q, k, v, out, lse, g, maskf, mask_len,
+                            interpret=interpret)
+    return dq, dk, dv, jnp.zeros_like(maskf)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def flash_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    mask_len: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable flash attention (resident variant, H == Hkv).
+
+    Under plain evaluation this is exactly :func:`flash_attention`; under
+    `jax.grad` the custom VJP recomputes P blockwise from the saved LSE and
+    streams the FlashAttention-2 backward through the MXU — no (L, L)
+    score materialization, so training keeps the inference memory profile.
+    """
+    if q.shape[1] != k.shape[1]:
+        raise ValueError("trainable flash attention requires H == Hkv "
+                         "(GQA backward not implemented)")
+    if kv_mask is None:
+        maskf = jnp.ones((q.shape[0], k.shape[2]), jnp.float32)
+        mask_len = 0 if mask_len is None else mask_len
+    else:
+        maskf = kv_mask.astype(jnp.float32)
+    return _flash_diff(mask_len, q, k, v, maskf, interpret)
+
+
+def flash_attention_auto(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    mask_len: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dispatcher used by ops.attention: the differentiable wrapper when
+    the shape is eligible (resident K/V, H == Hkv — i.e. the MMDiT joint
+    stream), the plain kernel otherwise (streaming/GQA shapes stay
+    inference-only; differentiating them falls back to XLA upstream)."""
+    if fits_resident(k) and q.shape[1] == k.shape[1]:
+        return flash_attention_trainable(q, k, v, kv_mask=kv_mask,
+                                         mask_len=mask_len,
+                                         interpret=interpret)
+    return flash_attention(q, k, v, kv_mask=kv_mask, mask_len=mask_len,
+                           interpret=interpret)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "mask_len", "stream",
