@@ -449,10 +449,102 @@ def lower_stream(mesh, is_tpu: bool):
     print("OK: 20B fused realtime frame graph compiles TP-sharded")
 
 
+def lower_train(mesh, is_tpu: bool, rows: int = 2, rank: int = 16):
+    """AOT the FULL 20B LoRA fine-tune step — value_and_grad through all 60
+    blocks + Adam — on the v5e topology and report the per-chip budget.
+
+    What makes it fit (training/lora_train.py):
+    - base transformer TP-sharded bf16 (frozen; no optimizer state on it),
+    - per-block jax.checkpoint: backward saves only block-boundary
+      residual streams (~L·D bf16 per block) and recomputes within-block
+      activations,
+    - adapters fused per block INSIDE the remat region (no second full
+      parameter copy resident),
+    - the flash-attention custom VJP (ops/flash_attention.py): XLA's
+      attention backward would materialize (L, L) f32 scores per block,
+    - batch rows data-parallel over the idle `cfg` axis.
+
+    The reference has no training side at all (SURVEY §5.4) — this is the
+    capability its Lightning LoRA depends on, living off-repo there."""
+    import optax
+
+    from qwen_image_edit_streamdiffusion_tpu.training import lora_train as lt
+
+    preset = get_preset("qwen-image-edit-2509")
+    cfg = preset.model
+    tcfg = lt.TrainConfig(rank=rank)
+    chain = [optax.clip_by_global_norm(tcfg.grad_clip)] \
+        if tcfg.grad_clip else []
+    chain.append(optax.adamw(tcfg.learning_rate, b1=tcfg.b1, b2=tcfg.b2,
+                             weight_decay=tcfg.weight_decay))
+    opt = optax.chain(*chain)
+
+    img_shapes = ((1, 64, 64), (1, 64, 64))  # 1024² target + 1024² cond
+    txt_len = 256
+    step = lt.build_step(cfg, preset.scheduler, tcfg, opt, img_shapes,
+                         txt_len, rows, mesh=mesh, use_flash=is_tpu)
+
+    shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    specs = sharding.transformer_param_specs(shapes)
+    base_abs = jax.tree_util.tree_map(
+        lambda s, p: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, p)),
+        shapes, specs,
+    )
+    rep = NamedSharding(mesh, P())
+    lora_shapes = jax.eval_shape(
+        lambda: lt.init_lora(shapes, tcfg, jax.random.PRNGKey(1)))
+    opt_shapes = jax.eval_shape(opt.init, lora_shapes)
+    as_rep = lambda tree: jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep), tree)
+    lora_abs, opt_abs = as_rep(lora_shapes), as_rep(opt_shapes)
+    adapter_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
+                        for s in jax.tree_util.tree_leaves(lora_shapes))
+    opt_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
+                    for s in jax.tree_util.tree_leaves(opt_shapes))
+
+    dp = ("cfg" in mesh.shape and mesh.shape["cfg"] > 1
+          and rows % mesh.shape["cfg"] == 0)
+    row_sh = NamedSharding(mesh, P("cfg")) if dp else rep
+    f, h0, w0 = img_shapes[0]
+    l_target = f * h0 * w0
+    l_cond = sum(ff * hh * ww for ff, hh, ww in img_shapes[1:])
+    abs_ = lambda shape, dt, sh: jax.ShapeDtypeStruct(shape, dt, sharding=sh)
+    key_shape = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    args = (
+        base_abs, lora_abs, opt_abs,
+        abs_((rows, l_target, cfg.in_channels), jnp.bfloat16, row_sh),
+        abs_((rows, l_cond, cfg.in_channels), jnp.bfloat16, row_sh),
+        abs_((rows, txt_len, cfg.joint_dim), jnp.bfloat16, row_sh),
+        abs_((rows, txt_len), jnp.bool_, row_sh),
+        abs_(key_shape.shape, key_shape.dtype, rep),
+    )
+    t0 = time.time()
+    lowered = jax.jit(step, donate_argnums=(1, 2)).lower(*args)
+    print(f"train step (rank-{rank} LoRA, {rows} rows, remat, "
+          f"{'flash-VJP' if is_tpu else 'XLA attention'}) lowered in "
+          f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"compiled in {time.time() - t0:.1f}s")
+    print(f"adapters {adapter_bytes / 1e6:.1f} MB + Adam state "
+          f"{opt_bytes / 1e6:.1f} MB (replicated, f32)")
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        total = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                 + mem.output_size_in_bytes)
+        print(f"per-device: args {mem.argument_size_in_bytes / 1e9:.2f} GB "
+              f"+ temps {mem.temp_size_in_bytes / 1e9:.2f} GB "
+              f"+ out {mem.output_size_in_bytes / 1e9:.2f} GB = "
+              f"{total / 1e9:.2f} GB "
+              f"({'FITS' if total < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
+    print("OK: full 20B LoRA train step compiles TP+DP-sharded")
+
+
 def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          vl: bool = False, vl_bits: int = 0,
          stream: bool = False, cfg_mode: str | None = None,
-         rows: int = 1):
+         rows: int = 1, train: bool = False, rank: int = 16):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
     compile_cache.honor_platform_env()
@@ -469,6 +561,8 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
                                 model_axis=n_devices // cfg_axis,
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
+    if train:
+        return lower_train(mesh, is_tpu, rows=max(rows, 2), rank=rank)
     if stream:
         return lower_stream(mesh, is_tpu)
     if vl and not loop:
@@ -580,10 +674,14 @@ if __name__ == "__main__":
                 if "--cfg-mode" in sys.argv else None)
     rows = (int(sys.argv[sys.argv.index("--rows") + 1])
             if "--rows" in sys.argv else 1)
+    rank = (int(sys.argv[sys.argv.index("--rank") + 1])
+            if "--rank" in sys.argv else 16)
     main(n_devices=n, loop="--loop" in sys.argv,
          bits=bits,
          vl="--vl" in sys.argv,
          vl_bits=vl_bits,
          stream="--stream" in sys.argv,
          cfg_mode=cfg_mode,
-         rows=rows)
+         rows=rows,
+         train="--train" in sys.argv,
+         rank=rank)

@@ -680,8 +680,45 @@ def bench_serve(args):
         srv.shutdown()
 
 
+def bench_train(args):
+    """LoRA fine-tune step timing (training/lora_train.py): compile cost +
+    steady-state s/step at this preset's scale. No reference analog — it
+    serves a pre-distilled Lightning LoRA and ships no trainer; the number
+    that matters here is that train-step time ≈ 3-4× the serving model
+    call (fwd + remat-recompute + bwd) with adapters/optimizer adding ~0."""
+    from qwen_image_edit_streamdiffusion_tpu.training import lora_train as lt
+
+    pipe = _mk_pipe(args)
+    tcfg = lt.TrainConfig(rank=8, alpha=8.0, learning_rate=1e-4)
+    trainer = lt.LoRATrainer.from_pipeline(pipe, tcfg)
+    items = [
+        {"image": imaging.make_test_image(args.size, args.size, "gradient"),
+         "prompt": "turn the gradient into a circle",
+         "target": imaging.make_test_image(args.size, args.size, "circle")},
+        {"image": imaging.make_test_image(args.size, args.size, "circle"),
+         "prompt": "turn the circle into a gradient",
+         "target": imaging.make_test_image(args.size, args.size,
+                                           "gradient")},
+    ]
+    batch = lt.build_batch(pipe, items)
+    t0 = time.time()
+    loss0 = trainer.step(batch)
+    print(f"  first step (compile): {time.time() - t0:.1f}s  "
+          f"loss {loss0:.4f}")
+    ts = []
+    for _ in range(max(args.runs, 3)):
+        t0 = time.time()
+        loss = trainer.step(batch)  # loss fetch = sync point
+        ts.append(time.time() - t0)
+    rows = batch["x0_tokens"].shape[0]
+    print(f"  steady step: {min(ts):.3f}s min / {np.median(ts):.3f}s median "
+          f"({rows} rows, rank-{tcfg.rank}, remat={tcfg.remat}) "
+          f"→ {rows / np.median(ts):.2f} img/s  final loss {loss:.4f}")
+
+
 BENCHES = {
     "smoke": bench_smoke,
+    "train": bench_train,
     "serve": bench_serve,
     "multicond": bench_multicond,
     "realtime": bench_realtime,

@@ -284,11 +284,23 @@ def forward(
     txt_mask: Optional[jnp.ndarray] = None,  # (B, L_txt) bool
     use_flash: bool = True,
     mesh=None,  # tensor-parallel mesh: shard_maps the flash kernel over heads
+    remat: bool = False,  # checkpoint each block (training memory profile)
+    blocks_extra: Optional[Sequence] = None,  # per-block side input (LoRA)
+    block_map=None,  # (block_params, extra) -> effective block params
 ) -> jnp.ndarray:
     """Velocity prediction for every image token: (B, L_img, out_channels).
 
     Callers slice off the target-image positions (conditioning-image tokens
     ride along in the sequence but their predictions are discarded).
+
+    remat=True wraps each block in jax.checkpoint so the backward saves
+    only the block-boundary residual streams and recomputes within-block
+    activations — the training memory profile. block_map/blocks_extra let
+    a caller derive each block's effective params from a side input
+    (LoRA adapters) INSIDE the checkpointed region: the derived weights
+    (w + scale·aᵢ@bᵢ) are then rematerialized in the backward instead of
+    being saved as residuals, which would otherwise keep a second full
+    parameter copy resident (training/lora_train.py).
     """
     img = linear(params["img_in"], img_tokens)
     txt = linear(params["txt_in"], rms_norm(params["txt_norm"], txt_embeds, cfg.eps))
@@ -299,9 +311,21 @@ def forward(
                                      t_feat.astype(img.dtype))))
     temb_act = jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype)
 
-    for blk in params["blocks"]:
-        img, txt = _block(blk, cfg, img, txt, temb_act, ropes, txt_mask,
-                          use_flash, mesh)
+    def apply(blk, extra, img, txt):
+        if block_map is not None:
+            blk = block_map(blk, extra)
+        return _block(blk, cfg, img, txt, temb_act, ropes, txt_mask,
+                      use_flash, mesh)
+
+    if remat:
+        # closed-over tracers (temb_act, ropes, mask) are tiny; the big
+        # within-block activations are recomputed in the backward
+        apply = jax.checkpoint(apply)
+
+    extras = (blocks_extra if blocks_extra is not None
+              else [None] * len(params["blocks"]))
+    for blk, extra in zip(params["blocks"], extras):
+        img, txt = apply(blk, extra, img, txt)
 
     # AdaLayerNormContinuous head: scale first, then shift.
     cond = linear(params["norm_out"]["linear"], temb_act)

@@ -92,6 +92,10 @@ class TrainConfig:
     timestep_mean: float = 0.0
     timestep_std: float = 1.0
     shift_timesteps: bool = True  # apply compute_mu exponential shift
+    # jax.checkpoint each block: backward saves only block-boundary
+    # residuals and recomputes within-block activations + the per-block
+    # fused weights — what lets the 20B train step fit the serving pods
+    remat: bool = True
     seed: int = 0
 
 
@@ -178,36 +182,42 @@ def _is_lora_leaf(node) -> bool:
             and not isinstance(node["a"], dict))
 
 
-def apply_lora(params: Params, lora: Params, scale: float) -> Params:
-    """Functionally fuse adapters: w_eff = w + scale·(a @ b), cast to the
-    base dtype. Differentiable w.r.t. ``lora``; under jit the fused weight
-    is a fusion temporary, not resident state."""
+def merge_block(p_node: dict, l_node: dict, scale: float) -> dict:
+    """One block's effective params: w_eff = w + scale·(a @ b), cast to the
+    base dtype (fused-qkv targets land in their column slot).
 
-    def merge(p_node, l_node):
-        out = dict(p_node)
-        for k, sub in l_node.items():
-            if _is_lora_leaf(sub):
-                delta = (sub["a"] @ sub["b"]) * scale
-                name, slot = k, None
-                if k not in out and k in _FUSED_SLOT:
-                    name, slot = _FUSED_SLOT[k]
-                leaf = dict(out[name])
-                w = leaf["w"]
-                w32 = w.astype(jnp.float32)
-                if slot is None:
-                    w32 = w32 + delta
-                else:
-                    d_out = delta.shape[1]
-                    sl = slice(slot * d_out, (slot + 1) * d_out)
-                    w32 = w32.at[:, sl].add(delta)
-                leaf["w"] = w32.astype(w.dtype)
-                out[name] = leaf
+    Used per block INSIDE the rematerialized region of the train step
+    (tfm.forward block_map), so the fused weights are recomputed in the
+    backward instead of being saved — a second full parameter copy never
+    becomes resident."""
+    out = dict(p_node)
+    for k, sub in l_node.items():
+        if _is_lora_leaf(sub):
+            delta = (sub["a"] @ sub["b"]) * scale
+            name, slot = k, None
+            if k not in out and k in _FUSED_SLOT:
+                name, slot = _FUSED_SLOT[k]
+            leaf = dict(out[name])
+            w = leaf["w"]
+            w32 = w.astype(jnp.float32)
+            if slot is None:
+                w32 = w32 + delta
             else:
-                out[k] = merge(out[k], sub)
-        return out
+                d_out = delta.shape[1]
+                sl = slice(slot * d_out, (slot + 1) * d_out)
+                w32 = w32.at[:, sl].add(delta)
+            leaf["w"] = w32.astype(w.dtype)
+            out[name] = leaf
+        else:
+            out[k] = merge_block(out[k], sub, scale)
+    return out
 
+
+def apply_lora(params: Params, lora: Params, scale: float) -> Params:
+    """Functionally fuse adapters over the whole tree (export/equivalence
+    checks; the train step fuses per block via :func:`merge_block`)."""
     out = dict(params)
-    out["blocks"] = [merge(pb, lb)
+    out["blocks"] = [merge_block(pb, lb, scale)
                      for pb, lb in zip(params["blocks"], lora["blocks"])]
     return out
 
@@ -235,7 +245,9 @@ def sample_sigmas(
 
 
 def flow_match_loss(
-    fused_params: Params,
+    base_params: Params,
+    lora: Params,
+    scale: float,
     model_cfg: ModelConfig,
     x0_tokens: jnp.ndarray,      # (B, L_img, C) packed target latents
     cond_tokens: jnp.ndarray,    # (B, L_cond, C) packed condition latents
@@ -246,11 +258,16 @@ def flow_match_loss(
     ropes: tfm.RopeTables,
     use_flash: bool = False,
     mesh=None,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """MSE between predicted and true velocity (v = ε − x₀) on the target
     tokens; condition tokens ride along in the sequence with predictions
     discarded — the exact serving-forward contract
-    (pipeline/edit_pipeline.py model_call)."""
+    (pipeline/edit_pipeline.py model_call).
+
+    Adapters fuse per block inside the (rematerialized) block body via
+    tfm.forward's block_map hook: differentiable w.r.t. ``lora`` while the
+    fused weights stay recompute-only."""
     l_img = x0_tokens.shape[1]
     s = sigmas[:, None, None]
     x0 = x0_tokens.astype(jnp.float32)
@@ -258,11 +275,78 @@ def flow_match_loss(
     x_t = ((1.0 - s) * x0 + s * eps).astype(x0_tokens.dtype)
     inp = jnp.concatenate([x_t, cond_tokens.astype(x_t.dtype)], axis=1)
     t = sigmas * 1000.0  # train-timestep units (scheduler convention)
-    v = tfm.forward(fused_params, model_cfg, inp, txt, t, ropes,
-                    txt_mask=txt_mask, use_flash=use_flash, mesh=mesh)
+    v = tfm.forward(
+        base_params, model_cfg, inp, txt, t, ropes,
+        txt_mask=txt_mask, use_flash=use_flash, mesh=mesh, remat=remat,
+        blocks_extra=lora["blocks"],
+        block_map=lambda blk, lb: merge_block(blk, lb, scale),
+    )
     v = v[:, :l_img].astype(jnp.float32)
     target = eps - x0
     return jnp.mean(jnp.square(v - target))
+
+
+def build_step(
+    model_cfg: ModelConfig,
+    sched_cfg: SchedulerConfig,
+    cfg: TrainConfig,
+    opt,
+    img_shapes: Tuple[Tuple[int, int, int], ...],
+    txt_len: int,
+    batch: int,
+    mesh=None,
+    use_flash: bool = False,
+):
+    """Pure train-step function for one geometry bucket (shared by the
+    trainer's jit cache and the 20B AOT memory budget in
+    benchmarks/lower_full.py --train):
+
+    step(base, lora, opt_state, x0, cond, txt, txt_mask, rng)
+        -> (lora, opt_state, loss)
+
+    Batch rows data-parallelize over the ``cfg`` mesh axis (idle at train
+    time), the base transformer stays TP-sharded over ``model``; the
+    adapter gradient psum is inserted by GSPMD from the annotations."""
+    import optax
+
+    ropes = tfm.make_rope(model_cfg, img_shapes, txt_len)
+    scale = cfg.alpha / cfg.rank
+    f, h0, w0 = img_shapes[0]
+    image_seq_len = f * h0 * w0
+
+    tp_mesh = mesh if (mesh is not None and "model" in mesh.axis_names
+                       and mesh.shape["model"] > 1) else None
+    dp = (mesh is not None and "cfg" in mesh.axis_names
+          and mesh.shape["cfg"] > 1 and batch % mesh.shape["cfg"] == 0)
+
+    def _dp(x):
+        if dp:
+            from qwen_image_edit_streamdiffusion_tpu.parallel.sharding \
+                import batch_sharding
+            return jax.lax.with_sharding_constraint(
+                x, batch_sharding(mesh))
+        return x
+
+    def step(base, lora, opt_state, x0, cond, txt, txt_mask, rng):
+        k_sig, k_eps = jax.random.split(rng)
+        sigmas = sample_sigmas(k_sig, batch, cfg, image_seq_len, sched_cfg)
+        noise = jax.random.normal(k_eps, x0.shape, jnp.float32)
+        x0, cond = _dp(x0), _dp(cond)
+        txt, txt_mask = _dp(txt), _dp(txt_mask)
+        sigmas, noise = _dp(sigmas), _dp(noise)
+
+        def loss_fn(lo):
+            return flow_match_loss(
+                base, lo, scale, model_cfg, x0, cond, txt, txt_mask,
+                sigmas, noise, ropes, use_flash=use_flash, mesh=tp_mesh,
+                remat=cfg.remat)
+
+        loss, grads = jax.value_and_grad(loss_fn)(lora)
+        updates, opt_state = opt.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -324,50 +408,9 @@ class LoRATrainer:
         key = (img_shapes, txt_len, batch)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        import optax
-
-        model_cfg, sched_cfg, cfg = self.model_cfg, self.sched_cfg, self.cfg
-        ropes = tfm.make_rope(model_cfg, img_shapes, txt_len)
-        scale = cfg.alpha / cfg.rank
-        f, h0, w0 = img_shapes[0]
-        image_seq_len = f * h0 * w0
-        use_flash = self.use_flash
-        opt = self.opt
-        mesh = self.mesh
-
-        tp_mesh = mesh if (mesh is not None and "model" in mesh.axis_names
-                           and mesh.shape["model"] > 1) else None
-        dp = (mesh is not None and "cfg" in mesh.axis_names
-              and mesh.shape["cfg"] > 1 and batch % mesh.shape["cfg"] == 0)
-
-        def _dp(x):
-            if dp:
-                from qwen_image_edit_streamdiffusion_tpu.parallel.sharding \
-                    import batch_sharding
-                return jax.lax.with_sharding_constraint(
-                    x, batch_sharding(mesh))
-            return x
-
-        def step(base, lora, opt_state, x0, cond, txt, txt_mask, rng):
-            k_sig, k_eps = jax.random.split(rng)
-            sigmas = sample_sigmas(k_sig, batch, cfg, image_seq_len,
-                                   sched_cfg)
-            noise = jax.random.normal(k_eps, x0.shape, jnp.float32)
-            x0, cond = _dp(x0), _dp(cond)
-            txt, txt_mask = _dp(txt), _dp(txt_mask)
-            sigmas, noise = _dp(sigmas), _dp(noise)
-
-            def loss_fn(lo):
-                fused = apply_lora(base, lo, scale)
-                return flow_match_loss(
-                    fused, model_cfg, x0, cond, txt, txt_mask, sigmas,
-                    noise, ropes, use_flash=use_flash, mesh=tp_mesh)
-
-            loss, grads = jax.value_and_grad(loss_fn)(lora)
-            updates, opt_state = opt.update(grads, opt_state, lora)
-            lora = optax.apply_updates(lora, updates)
-            return lora, opt_state, loss
-
+        step = build_step(self.model_cfg, self.sched_cfg, self.cfg,
+                          self.opt, img_shapes, txt_len, batch,
+                          mesh=self.mesh, use_flash=self.use_flash)
         self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
         return self._jit_cache[key]
 

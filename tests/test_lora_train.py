@@ -29,9 +29,13 @@ def pipe():
 
 @pytest.fixture(scope="module")
 def tcfg():
+    # remat off: the per-block checkpoint trades compute for memory — the
+    # right default on a 16 GB chip, but ~6x slower on the CPU test grid;
+    # test_remat_step_equivalence covers the remat path's math explicitly
     return lt.TrainConfig(rank=4, alpha=4.0, learning_rate=5e-3,
                           targets=("attn.to_q", "attn.to_v",
-                                   "img_mlp.net.0.proj"))
+                                   "img_mlp.net.0.proj"),
+                          remat=False)
 
 
 @pytest.fixture(scope="module")
@@ -120,6 +124,35 @@ def test_train_step_matches_single_device_on_mesh(tcfg, batch):
         bad += int(np.sum(np.abs(a - b) > 5e-3 + 5e-2 * np.abs(b)))
         total += a.size
     assert bad <= max(2, total // 500), (bad, total)
+
+
+def test_remat_grad_equivalence(pipe, tcfg, batch):
+    """remat=True (the deployment default: per-block jax.checkpoint +
+    in-remat LoRA fusion) computes the same loss AND adapter gradients as
+    the plain path — checkpointing must change memory, never math.
+    Gradients are compared directly (an Adam step collapses them to ±lr,
+    which amplifies bf16 reordering noise into sign flips)."""
+    cfg = pipe.preset.model
+    lora = lt.init_lora(pipe.tfm_params, tcfg, jax.random.PRNGKey(9))
+    scale = tcfg.alpha / tcfg.rank
+    img_shapes = tuple(batch["img_shapes"])
+    ropes = tfm.make_rope(cfg, img_shapes, int(batch["txt"].shape[1]))
+    x0, cond = batch["x0_tokens"], batch["cond_tokens"]
+    sigmas = jnp.asarray([0.3, 0.8])
+    noise = jax.random.normal(jax.random.PRNGKey(10), x0.shape, jnp.float32)
+
+    def loss(lo, remat):
+        return lt.flow_match_loss(
+            pipe.tfm_params, lo, scale, cfg, x0, cond, batch["txt"],
+            batch["txt_mask"], sigmas, noise, ropes, remat=remat)
+
+    vp, gp = jax.value_and_grad(lambda lo: loss(lo, False))(lora)
+    vr, gr = jax.value_and_grad(lambda lo: loss(lo, True))(lora)
+    assert abs(float(vp - vr)) < 1e-4 * max(1.0, abs(float(vp)))
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-2)
 
 
 def test_quantized_base_rejected(tcfg):
