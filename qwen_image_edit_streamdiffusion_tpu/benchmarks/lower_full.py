@@ -56,6 +56,14 @@ Flags:
               dispatch) at 1024² with batched CFG: 12.43 GB/chip on
               v5e-8 — the realtime product deploys at 20B scale too.
   --v5e-4     target a 4-chip topology instead of 8.
+  --train     AOT the FULL 20B LoRA fine-tune step (value_and_grad through
+              all 60 blocks + Adam, per-block remat with in-remat adapter
+              fusion, flash-attention custom VJP, rows DP over `cfg`):
+              args 10.80 + temps 3.55 + out 0.35 = **14.71 GB/chip FITS
+              v5e-8** — the 20B model fine-tunes on the pod it serves
+              from. --rank N sets the adapter rank (default 16; adapters
+              189 MB + Adam state 378 MB replicated f32), --rows the
+              train batch rows (default 2, DP over the cfg axis).
   QIE_AOT_SAVE=<path> additionally serializes the compiled executable
               (~212 MB) — ship to the pod and deserialize_and_load to
               skip the multi-minute serving cold-start compile.

@@ -22,12 +22,14 @@ from typing import Any, Optional
 import jax
 
 
-def save(path: str, params: Any) -> None:
+def save(path: str, params: Any, overwrite: bool = False) -> None:
+    """overwrite=True atomically replaces an existing checkpoint (orbax
+    `force` — the periodic train-state save rewrites the same dir)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, params)
+    ckptr.save(path, params, force=overwrite)
     ckptr.wait_until_finished()
 
 

@@ -534,6 +534,42 @@ def export_lora_state_dict(lora: Params,
     return out
 
 
+def save_train_state(path: str, trainer: "LoRATrainer") -> None:
+    """Orbax checkpoint of the full training state — adapters, Adam
+    moments, RNG, step counter — for preemption-safe resume (the reference
+    has no training, hence no resume story at all: SURVEY §5.4). The
+    frozen base is NOT saved (it's the serving checkpoint)."""
+    from qwen_image_edit_streamdiffusion_tpu.models import checkpoint as ckpt
+
+    ckpt.save(path, {
+        "lora": trainer.lora,
+        "opt_state": trainer.opt_state,
+        "rng": trainer._key,
+        "step": jnp.asarray(trainer._steps, jnp.int32),
+    }, overwrite=True)
+
+
+def restore_train_state(path: str, trainer: "LoRATrainer") -> "LoRATrainer":
+    """Restore a :func:`save_train_state` checkpoint into a freshly built
+    trainer (same base params / TrainConfig); returns the trainer resumed
+    at the saved step with bit-identical adapters, optimizer moments and
+    RNG stream."""
+    from qwen_image_edit_streamdiffusion_tpu.models import checkpoint as ckpt
+
+    like = {
+        "lora": trainer.lora,
+        "opt_state": trainer.opt_state,
+        "rng": trainer._key,
+        "step": jnp.asarray(trainer._steps, jnp.int32),
+    }
+    state = ckpt.load(path, like=like)
+    trainer.lora = state["lora"]
+    trainer.opt_state = state["opt_state"]
+    trainer._key = state["rng"]
+    trainer._steps = int(np.asarray(state["step"]))
+    return trainer
+
+
 def save_lora(path: str, lora: Params, cfg: TrainConfig) -> None:
     """Write the adapter as .safetensors (readable by
     ``models.lora.load_lora_weights`` AND by diffusers/peft on a GPU box);
@@ -563,6 +599,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--save", default=None, help="write LoRA .safetensors")
+    ap.add_argument("--state", default=None,
+                    help="orbax train-state dir: resumed from if it "
+                    "exists, saved to after the run (preemption-safe)")
     args = ap.parse_args(argv)
 
     from qwen_image_edit_streamdiffusion_tpu.core import imaging
@@ -570,10 +609,15 @@ def main(argv=None):
         EditPipeline,
     )
 
+    import os
+
     pipe = EditPipeline.create(args.preset, seed=0)
     cfg = TrainConfig(rank=args.rank, alpha=float(args.rank),
                       learning_rate=args.lr)
     trainer = LoRATrainer.from_pipeline(pipe, cfg)
+    if args.state and os.path.isdir(args.state):
+        trainer = restore_train_state(args.state, trainer)
+        print(f"resumed from {args.state} at step {trainer._steps}")
 
     items = []
     for i in range(args.batch):
@@ -594,6 +638,9 @@ def main(argv=None):
     if args.save:
         save_lora(args.save, trainer.lora, cfg)
         print(f"saved {args.save}")
+    if args.state:
+        save_train_state(args.state, trainer)
+        print(f"train state → {args.state} (step {trainer._steps})")
 
 
 if __name__ == "__main__":

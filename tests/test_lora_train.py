@@ -165,6 +165,29 @@ def test_quantized_base_rejected(tcfg):
         lt.init_lora(qparams, tcfg, jax.random.PRNGKey(0))
 
 
+def test_train_state_resume_bit_exact(tmp_path, pipe, tcfg, batch):
+    """2 steps → save → 2 steps must equal save-restore → 2 steps:
+    adapters, Adam moments AND the RNG stream round-trip through the
+    orbax train-state checkpoint (preemption-safe resume — the reference
+    has no training/resume story at all, SURVEY §5.4)."""
+    path = str(tmp_path / "train_state")
+    t_a = lt.LoRATrainer.from_pipeline(pipe, tcfg)
+    for _ in range(2):
+        t_a.step(batch)
+    lt.save_train_state(path, t_a)
+    for _ in range(2):
+        t_a.step(batch)
+
+    t_b = lt.LoRATrainer.from_pipeline(pipe, tcfg)
+    t_b = lt.restore_train_state(path, t_b)
+    assert t_b._steps == 2
+    for _ in range(2):
+        t_b.step(batch)
+    for a, b in zip(jax.tree_util.tree_leaves(t_a.lora),
+                    jax.tree_util.tree_leaves(t_b.lora)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_save_lora_npz_fallback(tmp_path, pipe, tcfg, monkeypatch):
     """save_lora falls back to .npz when safetensors is missing, and the
     archive holds the diffusers keys."""
