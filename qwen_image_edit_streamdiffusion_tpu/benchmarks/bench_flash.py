@@ -82,6 +82,9 @@ def main(argv=None):
     ap.add_argument("--bk", type=int, help="restrict sweep to one block_k")
     ap.add_argument("--skip-xla", action="store_true",
                     help="skip the XLA reference timing")
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (value_and_grad) through the "
+                    "custom-VJP training path instead of the forward")
     args = ap.parse_args(argv)
 
     shape = (args.b, args.heads, args.l, args.d)
@@ -93,13 +96,44 @@ def main(argv=None):
     mask = jnp.ones((args.b, args.l), bool)
 
     flops = 4 * args.b * args.heads * args.l * args.l * args.d
+    if args.grad:
+        # fwd-with-LSE (2 dots) + dq kernel (3) + dkv kernel (4) ≈ 4.5×
+        # the 2-dot forward's MXU work
+        flops = flops * 9 // 2
     print(f"shape B{args.b} H{args.heads} L{args.l} D{args.d} "
-          f"({flops / 1e9:.1f} GFLOP/layer) device={jax.devices()[0]}")
+          f"({flops / 1e9:.1f} GFLOP/layer{' fwd+bwd' if args.grad else ''})"
+          f" device={jax.devices()[0]}")
+
+    def grad_op(attn):
+        """q-shaped fwd+bwd op for _time_fn: all three cotangents feed the
+        output so no backward kernel is dead-code-eliminated."""
+        def loss(q, k, v):
+            return jnp.sum(attn(q, k, v).astype(jnp.float32))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))
+
+        def op(q, k, v):
+            dq, dk, dv = g(q, k, v)
+            return (dq + dk + dv).astype(q.dtype)
+
+        return op
 
     if not args.skip_xla:
-        ms = _time_fn(xla_attention, q, k, v, args.iters)
+        fn = grad_op(xla_attention) if args.grad else xla_attention
+        ms = _time_fn(fn, q, k, v, args.iters)
         print(f"  {'XLA reference':<24} {ms:7.2f} ms  "
               f"{flops / ms / 1e9:6.1f} TF/s")
+
+    if args.grad:
+        # the trainable path uses the measured default blocks; per-block
+        # sweeps apply to the inference kernel only
+        fn = grad_op(functools.partial(
+            fa.flash_attention_trainable, kv_mask=mask,
+            mask_len=args.mask_len))
+        ms = _time_fn(fn, q, k, v, args.iters)
+        print(f"  {'flash custom VJP':<24} {ms:7.2f} ms  "
+              f"{flops / ms / 1e9:6.1f} TF/s")
+        return
 
     for bq in ((args.bq,) if args.bq else (256, 512, 1024)):
         for bk in ((args.bk,) if args.bk else (256, 512, 1024, 2048)):
