@@ -457,7 +457,8 @@ def lower_stream(mesh, is_tpu: bool):
     print("OK: 20B fused realtime frame graph compiles TP-sharded")
 
 
-def lower_train(mesh, is_tpu: bool, rows: int = 2, rank: int = 16):
+def lower_train(mesh, is_tpu: bool, rows: int = 2, rank: int = 16,
+                distill: bool = False, guided: bool = False):
     """AOT the FULL 20B LoRA fine-tune step — value_and_grad through all 60
     blocks + Adam — on the v5e topology and report the per-chip budget.
 
@@ -489,8 +490,23 @@ def lower_train(mesh, is_tpu: bool, rows: int = 2, rank: int = 16):
 
     img_shapes = ((1, 64, 64), (1, 64, 64))  # 1024² target + 1024² cond
     txt_len = 256
-    step = lt.build_step(cfg, preset.scheduler, tcfg, opt, img_shapes,
-                         txt_len, rows, mesh=mesh, use_flash=is_tpu)
+    if distill:
+        # progressive step distillation: + two gradient-free teacher
+        # forwards (×2 more when guided — the CFG teacher) whose
+        # activations XLA frees (no backward residuals)
+        from qwen_image_edit_streamdiffusion_tpu.training import (
+            distill as dtl,
+        )
+
+        dcfg = dtl.DistillConfig(
+            train=tcfg, student_steps=2,
+            teacher_cfg_scale=4.0 if guided else 0.0)
+        step = dtl.build_distill_step(cfg, preset.scheduler, dcfg, opt,
+                                      img_shapes, txt_len, rows, mesh=mesh,
+                                      use_flash=is_tpu)
+    else:
+        step = lt.build_step(cfg, preset.scheduler, tcfg, opt, img_shapes,
+                             txt_len, rows, mesh=mesh, use_flash=is_tpu)
 
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
     specs = sharding.transformer_param_specs(shapes)
@@ -519,17 +535,24 @@ def lower_train(mesh, is_tpu: bool, rows: int = 2, rank: int = 16):
     l_cond = sum(ff * hh * ww for ff, hh, ww in img_shapes[1:])
     abs_ = lambda shape, dt, sh: jax.ShapeDtypeStruct(shape, dt, sharding=sh)
     key_shape = jax.eval_shape(lambda: jax.random.PRNGKey(0))
-    args = (
+    args = [
         base_abs, lora_abs, opt_abs,
         abs_((rows, l_target, cfg.in_channels), jnp.bfloat16, row_sh),
         abs_((rows, l_cond, cfg.in_channels), jnp.bfloat16, row_sh),
         abs_((rows, txt_len, cfg.joint_dim), jnp.bfloat16, row_sh),
         abs_((rows, txt_len), jnp.bool_, row_sh),
-        abs_(key_shape.shape, key_shape.dtype, rep),
-    )
+    ]
+    if distill:  # negative prompt embeds for the (optionally CFG) teacher
+        args += [
+            abs_((rows, txt_len, cfg.joint_dim), jnp.bfloat16, row_sh),
+            abs_((rows, txt_len), jnp.bool_, row_sh),
+        ]
+    args.append(abs_(key_shape.shape, key_shape.dtype, rep))
+    kind = ("distill" + ("+CFG-teacher" if guided else "")
+            if distill else "train")
     t0 = time.time()
     lowered = jax.jit(step, donate_argnums=(1, 2)).lower(*args)
-    print(f"train step (rank-{rank} LoRA, {rows} rows, remat, "
+    print(f"{kind} step (rank-{rank} LoRA, {rows} rows, remat, "
           f"{'flash-VJP' if is_tpu else 'XLA attention'}) lowered in "
           f"{time.time() - t0:.1f}s")
     t0 = time.time()
@@ -546,13 +569,14 @@ def lower_train(mesh, is_tpu: bool, rows: int = 2, rank: int = 16):
               f"+ out {mem.output_size_in_bytes / 1e9:.2f} GB = "
               f"{total / 1e9:.2f} GB "
               f"({'FITS' if total < 16e9 else 'EXCEEDS'} one v5e's 16 GB)")
-    print("OK: full 20B LoRA train step compiles TP+DP-sharded")
+    print(f"OK: full 20B LoRA {kind} step compiles TP+DP-sharded")
 
 
 def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          vl: bool = False, vl_bits: int = 0,
          stream: bool = False, cfg_mode: str | None = None,
-         rows: int = 1, train: bool = False, rank: int = 16):
+         rows: int = 1, train: bool = False, rank: int = 16,
+         distill: bool = False, guided: bool = False):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
     compile_cache.honor_platform_env()
@@ -569,8 +593,9 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
                                 model_axis=n_devices // cfg_axis,
                                 devices=devs[:n_devices])
     print(f"mesh: {dict(mesh.shape)} target={'TPU v5e (AOT topology)' if is_tpu else 'CPU'}")
-    if train:
-        return lower_train(mesh, is_tpu, rows=max(rows, 2), rank=rank)
+    if train or distill:
+        return lower_train(mesh, is_tpu, rows=max(rows, 2), rank=rank,
+                           distill=distill, guided=guided)
     if stream:
         return lower_stream(mesh, is_tpu)
     if vl and not loop:
@@ -692,4 +717,6 @@ if __name__ == "__main__":
          cfg_mode=cfg_mode,
          rows=rows,
          train="--train" in sys.argv,
-         rank=rank)
+         rank=rank,
+         distill="--distill" in sys.argv,
+         guided="--guided" in sys.argv)
