@@ -32,6 +32,15 @@ def base64_to_pil(b64_string: str) -> Image.Image:
     return img.convert("RGB")
 
 
+def open_rgb(path: str) -> Image.Image:
+    """Open an image file with the serving input convention: EXIF
+    orientation applied, RGB (the file-path twin of base64_to_pil —
+    training datasets load through this)."""
+    img = Image.open(path)
+    img = ImageOps.exif_transpose(img)
+    return img.convert("RGB")
+
+
 def pil_to_base64(img: Image.Image, quality: int = 90) -> str:
     """Encode PIL image as base64 JPEG (q=90 — reference server.py:116-120)."""
     buf = io.BytesIO()

@@ -121,11 +121,20 @@ def build_distill_step(
             return jax.lax.with_sharding_constraint(x, batch_sharding(mesh))
         return x
 
+    def _after(x, *deps):
+        """Data-dependency gate: forces XLA to schedule everything feeding
+        `deps` BEFORE any consumer of the returned x. Without it the
+        scheduler overlaps the teacher's cond/uncond forwards and the
+        student forward, and their live activations stack — measured
+        16.36 GB (EXCEEDS) vs in-budget with sequencing at 20B."""
+        return jax.lax.optimization_barrier((x, *deps))[0]
+
     def teacher_v(base, x_t, cond, txt, txt_mask, neg_txt, neg_mask, t):
         v = _model_v(base, model_cfg, x_t, cond, txt, txt_mask, t, ropes,
                      use_flash, tp_mesh)
         if guided:
-            v_neg = _model_v(base, model_cfg, x_t, cond, neg_txt, neg_mask,
+            v_neg = _model_v(base, model_cfg, _after(x_t, v), cond,
+                             neg_txt, neg_mask,
                              t, ropes, use_flash, tp_mesh)
             g = v_neg + dcfg.teacher_cfg_scale * (v - v_neg)
             # norm-rescaled CFG — the serving combination
@@ -167,6 +176,8 @@ def build_distill_step(
                                sig_e[:, None, None])
         v_star = jax.lax.stop_gradient(
             (x_e - x_t) / (sig_e - sig_t)[:, None, None])
+        # student runs strictly after the teacher (not overlapped)
+        x_t_m = _after(x_t_m, v_star)
 
         def loss_fn(lo):
             v_s = _model_v(base, model_cfg, x_t_m, cond, txt, txt_mask,

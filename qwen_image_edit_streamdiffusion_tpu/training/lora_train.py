@@ -438,36 +438,59 @@ class LoRATrainer:
 # ---------------------------------------------------------------------------
 
 
-def build_batch(pipe, items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+def build_batch(pipe, items: Sequence[Dict[str, Any]],
+                height: Optional[int] = None,
+                width: Optional[int] = None) -> Dict[str, Any]:
     """Assemble a train batch from (condition image(s), prompt, target
     image) triples using the pipeline's own encoders — the data path is
     identical to serving (same resize rules, same VL conditioning, same
     VAE latent normalization), so what you train is what you serve.
 
-    items: [{"image": PIL or [PIL...], "prompt": str, "target": PIL}, ...]
+    items: [{"image": PIL or [PIL...], "prompt": str, "target": PIL,
+             "negative_prompt": str (optional)}, ...]
     All items must share one geometry bucket (output size, n condition
     images, prompt-length bucket) — mirror of the serving graph buckets.
-    """
+    Any item with a ``negative_prompt`` adds ``neg_txt``/``neg_mask`` rows
+    to the batch (items without one fall back to an empty negative) — the
+    guided-distillation teacher consumes them (training/distill.py)."""
     from PIL import Image
 
     enc_reqs, metas = [], []
+    want_neg = any("negative_prompt" in it for it in items)
     for it in items:
         image = it["image"]
         images = [image] if isinstance(image, Image.Image) else list(image)
         out_h, out_w, vae_images, vl_images = pipe._prepare_images(
-            images, it.get("height"), it.get("width"))
+            images, it.get("height", height), it.get("width", width))
         enc_reqs.append((it["prompt"], vl_images))
+        if want_neg:
+            enc_reqs.append((it.get("negative_prompt", " "), vl_images))
         metas.append((it, out_h, out_w, vae_images))
 
-    embs = pipe._encode_prompts(enc_reqs)
+    all_embs = pipe._encode_prompts(enc_reqs)
+    if want_neg:
+        embs, neg_embs = all_embs[0::2], all_embs[1::2]
+    else:
+        embs, neg_embs = all_embs, None
     conds = pipe._encode_conditions_many([m[3] for m in metas])
 
     mdt = jnp.dtype(pipe.preset.model.dtype)
-    l_txt = max(e.embeds.shape[0] for e in embs)
+    l_txt = max(e.embeds.shape[0]
+                for e in embs + (neg_embs if want_neg else []))
+
+    def emb_row(emb):
+        e = jnp.asarray(emb.embeds, mdt)
+        m = jnp.asarray(emb.mask)
+        if e.shape[0] < l_txt:
+            e = jnp.pad(e, ((0, l_txt - e.shape[0]), (0, 0)))
+            m = jnp.pad(m, (0, l_txt - m.shape[0]))
+        return e[None], m[None]
+
     x0_rows, cond_rows, txt_rows, mask_rows = [], [], [], []
+    neg_txt_rows, neg_mask_rows = [], []
     geom = None
-    for (it, out_h, out_w, _), emb, (cond_tokens, cond_shapes) in zip(
-            metas, embs, conds):
+    for i, ((it, out_h, out_w, _), emb, (cond_tokens, cond_shapes)) in \
+            enumerate(zip(metas, embs, conds)):
         target = it["target"]
         from qwen_image_edit_streamdiffusion_tpu.core import imaging
         tgt = np.asarray(imaging.resize(target, out_w, out_h), np.uint8)
@@ -481,22 +504,26 @@ def build_batch(pipe, items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
                 "by (output size, condition count) like the server does")
         x0_rows.append(x0_tok)
         cond_rows.append(cond_tokens)
-        e = jnp.asarray(emb.embeds, mdt)
-        m = jnp.asarray(emb.mask)
-        if e.shape[0] < l_txt:
-            e = jnp.pad(e, ((0, l_txt - e.shape[0]), (0, 0)))
-            m = jnp.pad(m, (0, l_txt - m.shape[0]))
-        txt_rows.append(e[None])
-        mask_rows.append(m[None])
+        e, m = emb_row(emb)
+        txt_rows.append(e)
+        mask_rows.append(m)
+        if want_neg:
+            ne, nm = emb_row(neg_embs[i])
+            neg_txt_rows.append(ne)
+            neg_mask_rows.append(nm)
 
     x0_shapes, cond_shapes = geom
-    return {
+    out = {
         "x0_tokens": jnp.concatenate(x0_rows, axis=0),
         "cond_tokens": jnp.concatenate(cond_rows, axis=0),
         "txt": jnp.concatenate(txt_rows, axis=0),
         "txt_mask": jnp.concatenate(mask_rows, axis=0),
         "img_shapes": tuple(list(x0_shapes) + list(cond_shapes)),
     }
+    if want_neg:
+        out["neg_txt"] = jnp.concatenate(neg_txt_rows, axis=0)
+        out["neg_mask"] = jnp.concatenate(neg_mask_rows, axis=0)
+    return out
 
 
 # ---------------------------------------------------------------------------

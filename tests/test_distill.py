@@ -90,6 +90,35 @@ def test_distilled_adapter_round_trips_into_serving(pipe, dcfg, batch):
     assert np.isfinite(arr).all()
 
 
+def test_guided_distill_with_real_negatives(pipe, dcfg):
+    """build_batch emits neg_txt/neg_mask when items carry a
+    negative_prompt, and a real (neg ≠ pos) CFG teacher produces a
+    different, finite loss than the unguided teacher."""
+    items = [{
+        "image": imaging.make_test_image(96, 96, "gradient"),
+        "prompt": "draw a circle",
+        "negative_prompt": "blurry, low quality",
+        "target": imaging.make_test_image(96, 96, "circle"),
+    }, {
+        "image": imaging.make_test_image(96, 96, "circle"),
+        "prompt": "remove the circle",
+        "negative_prompt": "blurry, low quality",
+        "target": imaging.make_test_image(96, 96, "gradient"),
+    }]
+    nbatch = lt.build_batch(pipe, items)
+    assert "neg_txt" in nbatch and "neg_mask" in nbatch
+    assert nbatch["neg_txt"].shape == nbatch["txt"].shape
+
+    guided = dt.DistillTrainer.from_pipeline(
+        pipe, dataclasses.replace(dcfg, teacher_cfg_scale=4.0))
+    plain = dt.DistillTrainer.from_pipeline(pipe, dcfg)
+    k = jax.random.PRNGKey(13)
+    l_g = guided.step(nbatch, key=k)
+    l_p = plain.step(nbatch, key=k)
+    assert np.isfinite(l_g) and np.isfinite(l_p)
+    assert abs(l_g - l_p) > 1e-7  # the guided target actually differs
+
+
 def test_teacher_target_is_two_half_steps(pipe, dcfg, batch):
     """v* wiring check at zero adapters: the student's initial prediction
     equals the teacher's σ_t velocity (b=0 ⇒ identical params), so the
