@@ -21,6 +21,10 @@ scripts (SURVEY.md §2.1/§3.5) as one CLI.
 | serve             | HTTP /edit p50/p90 through the real wire path         |
 | multicond         | two-condition-image edit (upstream image=[a,b]; the   |
 |                   | HBM-streaming flash shape at 1024², in situ)          |
+| train             | LoRA fine-tune step timing (no reference analog — it  |
+|                   | ships no trainer)                                     |
+| distill           | progressive distillation: before/after PSNR of the    |
+|                   | 2-step student vs its 4-step teacher + step timing    |
 
 Timing methodology mirrors the reference (§3.5): warmup runs, then
 synchronize-bracketed timed runs (block_until_ready), avg/min/max printed.
@@ -716,9 +720,87 @@ def bench_train(args):
           f"→ {rows / np.median(ts):.2f} img/s  final loss {loss:.4f}")
 
 
+def bench_distill(args):
+    """Progressive-distillation proof (training/distill.py): K distill
+    steps must move the 2-step student toward the 4-step teacher it is
+    trained against. Reports distill-step time plus PSNR(student @steps,
+    teacher @2·steps) on the training edit before vs after — the
+    objective the reference's Lightning adapter optimized off-repo
+    (README.md:15-17 credits it with the 20× headline; server.py:76-79
+    serves it). Eval is on the training distribution (mechanism proof,
+    not generalization — that needs real weights + a real dataset)."""
+    import dataclasses as _dc
+
+    from qwen_image_edit_streamdiffusion_tpu.models import lora as lora_mod
+    from qwen_image_edit_streamdiffusion_tpu.training import distill as dt
+    from qwen_image_edit_streamdiffusion_tpu.training import lora_train as lt
+
+    pipe = _mk_pipe(args)
+    student_steps = args.steps
+    teacher_steps = 2 * student_steps
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    prompt = "turn the gradient into a circle"
+
+    def render(p, steps):
+        return np.asarray(
+            p(img, prompt, num_inference_steps=steps, seed=7).images[0],
+            np.float32)
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    t0 = time.time()
+    teacher = render(pipe, teacher_steps)
+    before = render(pipe, student_steps)  # LoRA is zero-init: student==base
+    p0 = psnr(before, teacher)
+    print(f"  eval graphs compiled in {time.time() - t0:.1f}s;  "
+          f"PSNR(student {student_steps}-step, teacher {teacher_steps}-step)"
+          f" before: {p0:.2f} dB")
+
+    dcfg = dt.DistillConfig(
+        train=lt.TrainConfig(rank=8, alpha=8.0, learning_rate=2e-3),
+        student_steps=student_steps)
+    trainer = dt.DistillTrainer.from_pipeline(pipe, dcfg)
+    items = [
+        {"image": img, "prompt": prompt,
+         "target": imaging.make_test_image(args.size, args.size, "circle")},
+        {"image": imaging.make_test_image(args.size, args.size, "circle"),
+         "prompt": "turn the circle into a gradient",
+         "target": imaging.make_test_image(args.size, args.size,
+                                           "gradient")},
+    ]
+    batch = lt.build_batch(pipe, items)
+    t0 = time.time()
+    loss0 = trainer.step(batch)
+    print(f"  first distill step (compile): {time.time() - t0:.1f}s  "
+          f"loss {loss0:.4f}")
+    ts, loss = [], loss0
+    for i in range(max(args.distill_steps - 1, 1)):
+        t0 = time.time()
+        loss = trainer.step(batch)
+        ts.append(time.time() - t0)
+    rows = batch["x0_tokens"].shape[0]
+    print(f"  steady distill step: {np.min(ts):.3f}s min / "
+          f"{np.median(ts):.3f}s median ({rows} rows, rank-"
+          f"{dcfg.train.rank})  loss {loss0:.4f} → {loss:.4f} "
+          f"({max(args.distill_steps, 2)} steps)")
+
+    # export → fuse → serve at student_steps: the round-trip the reference
+    # performs with its downloaded Lightning adapter.
+    sd = lt.export_lora_state_dict(trainer.lora, dcfg.train)
+    fused = lora_mod.fuse_lora(pipe.tfm_params, sd)
+    after = render(_dc.replace(pipe, tfm_params=fused), student_steps)
+    p1 = psnr(after, teacher)
+    print(f"  PSNR after: {p0:.2f} → {p1:.2f} dB "
+          f"({'+' if p1 >= p0 else ''}{p1 - p0:.2f} dB toward the "
+          f"{teacher_steps}-step teacher)")
+
+
 BENCHES = {
     "smoke": bench_smoke,
     "train": bench_train,
+    "distill": bench_distill,
     "serve": bench_serve,
     "multicond": bench_multicond,
     "realtime": bench_realtime,
@@ -754,6 +836,9 @@ def main(argv=None):
                         os.environ.get("QIE_SIZE", "512"))))
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--distill-steps", type=int, default=60,
+                    help="distill bench: optimization steps between the "
+                    "before/after PSNR evals")
     ap.add_argument("--dynamic-batch", type=int, default=0,
                     help="serve: also measure K concurrent clients with "
                     "cross-request dynamic batching (engine coalesces "
