@@ -115,7 +115,7 @@ def main(argv=None):
     # the full pixel fetch — on a tunneled host the fetch dominates, and
     # conflating them misattributes link bytes to VAE compute
     def _dec_device():
-        px, _ = dec(pipe.vae_params, final)
+        px, _ = dec(pipe._decode_params, final)
         np.asarray(px[0, 0, 0])
     _dec_device()
     ts = []
@@ -125,14 +125,14 @@ def main(argv=None):
         ts.append(time.time() - t0)
     print(f"  {'VAE decode (device+RTT)':<28} {min(ts) * 1000:8.1f} ms "
           "(min of 3, 1-elem sync)")
-    _t("VAE decode + pixel fetch", lambda: dec(pipe.vae_params, final))
+    _t("VAE decode + pixel fetch", lambda: dec(pipe._decode_params, final))
 
     from PIL import Image
 
     def _collect():
         # fresh decode per rep: a fetched jax array caches its host copy,
         # so re-fetching the same handle measures nothing
-        px, _ = dec(pipe.vae_params, final)
+        px, _ = dec(pipe._decode_params, final)
         return Image.fromarray(np.asarray(px)[0])
     _t("decode+fetch+PIL", _collect)
 

@@ -25,6 +25,9 @@ scripts (SURVEY.md §2.1/§3.5) as one CLI.
 |                   | ships no trainer)                                     |
 | distill           | progressive distillation: before/after PSNR of the    |
 |                   | 2-step student vs its 4-step teacher + step timing    |
+| tiny_decoder      | TAESD-analog tiny decoder vs full VAE: decode stage + |
+|                   | e2e edit A/B (StreamDiffusion's tiny-autoencoder      |
+|                   | technique; distill with training/tiny_vae.py)         |
 
 Timing methodology mirrors the reference (§3.5): warmup runs, then
 synchronize-bracketed timed runs (block_until_ready), avg/min/max printed.
@@ -60,6 +63,7 @@ def _timed(fn: Callable[[], object], runs: int, warmup: int = 1,
 
 
 def _mk_pipe(args, **cfg_kw) -> EditPipeline:
+    cfg_kw.setdefault("decoder", getattr(args, "decoder", "full"))
     config = StreamConfig(
         width=args.size, height=args.size,
         num_inference_steps=args.steps,
@@ -167,6 +171,45 @@ def bench_quantized(args):
               f"PSNR vs bf16 {psnr:.1f} dB")
         _timed(_edit_fn(pipe, img, args.steps), args.runs,
                label=f"int{bits}")
+
+
+def bench_tiny_decoder(args):
+    """Tiny output decoder (models/tiny_vae.py, the TAESD analog) vs the
+    full VAE decoder: decode-stage device+fetch time at --size², then e2e
+    edit medians with each. A random-init tiny decoder times identically
+    to a distilled one (same graph); quality of a trained artifact is the
+    training side's PSNR metric (training/tiny_vae.py, tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        _init_tiny_decoder,
+    )
+
+    pipe = _mk_pipe(args)
+    zh = zw = args.size // pipe.preset.vae.spatial_downsample
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, zh, zw,
+                          pipe.preset.vae.latent_channels), jnp.float32)
+    tokens = tfm.pack_latents(z).astype(jnp.dtype(pipe.preset.model.dtype))
+
+    def decode_once():
+        pix, _ = pipe._vae_decode_fn((zh, zw))(pipe._decode_params, tokens)
+        np.asarray(pix)  # fetch-sync (block_until_ready lies on the tunnel)
+
+    _timed(decode_once, args.runs, label=f"decode full  @{args.size}²")
+    img = imaging.make_test_image(args.size, args.size, "gradient")
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, label="edit full ")
+
+    import warnings as _w
+
+    pipe.config = pipe.config.replace(decoder="tiny")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # random-init warning — speed-only here
+        pipe.tiny_vae = _init_tiny_decoder(pipe.preset, pipe.config,
+                                           pipe.mesh, None, seed=0)
+    _timed(decode_once, args.runs, label=f"decode tiny  @{args.size}²")
+    _timed(_edit_fn(pipe, img, args.steps), args.runs, label="edit tiny ")
 
 
 def bench_variations(args):
@@ -801,6 +844,7 @@ BENCHES = {
     "smoke": bench_smoke,
     "train": bench_train,
     "distill": bench_distill,
+    "tiny_decoder": bench_tiny_decoder,
     "serve": bench_serve,
     "multicond": bench_multicond,
     "realtime": bench_realtime,
@@ -839,6 +883,10 @@ def main(argv=None):
     ap.add_argument("--distill-steps", type=int, default=60,
                     help="distill bench: optimization steps between the "
                     "before/after PSNR evals")
+    ap.add_argument("--decoder", choices=("full", "tiny"), default="full",
+                    help="latent→pixel decoder for the benched pipeline "
+                    "(tiny = random-init TAESD analog: right speed, noise "
+                    "output — distill a real one with training/tiny_vae.py)")
     ap.add_argument("--dynamic-batch", type=int, default=0,
                     help="serve: also measure K concurrent clients with "
                     "cross-request dynamic batching (engine coalesces "

@@ -236,6 +236,19 @@ class StreamConfig:
     #              edit outputs, not just delivered chroma (ADVICE r2 #3).
     transfer_format: str = "rgb"
 
+    # Latent→pixel decoder:
+    #   "full" — the converted AutoencoderKLQwenImage decoder (exact).
+    #   "tiny" — the TAESD-analog tiny decoder (models/tiny_vae.py):
+    #            ~1M params, ~2.5 ms device @1024² vs ~80 ms full — the
+    #            StreamDiffusion tiny-autoencoder technique the reference
+    #            never wired (README.md:186-191 credits the system; no
+    #            TAESD exists for this latent space to download).
+    #            Serve a DISTILLED artifact (training/tiny_vae.py,
+    #            server --tiny-decoder PATH); random-init output is noise.
+    #            Encode (conditioning) always uses the full VAE — only
+    #            the output stage is approximated.
+    decoder: str = "full"
+
     # Optimization flags
     use_flash_attention: bool = True  # Pallas flash attention (TPU only)
     use_int8: bool = False  # fused int8 quantize+GEMM+dequant weights

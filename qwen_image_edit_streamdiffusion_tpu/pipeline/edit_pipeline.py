@@ -30,6 +30,7 @@ guidance no-op for this model family), true_cfg_scale, seed`` → result with
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -88,6 +89,44 @@ def _default_encoder(preset: Preset, config: StreamConfig, seed: int
                              max_len=preset.vl.max_text_len,
                              use_flash=config.use_flash_attention)
     return StubEncoder.from_config(preset.vl)
+
+
+def _check_tiny_cfg(tcfg, vae_cfg, path: str) -> None:
+    if (tcfg.latent_channels != vae_cfg.latent_channels
+            or tcfg.spatial_upsample != vae_cfg.spatial_downsample):
+        raise ValueError(
+            f"tiny decoder {path!r} reads a ({tcfg.latent_channels}ch, "
+            f"{tcfg.spatial_upsample}x) latent grid but the preset's VAE "
+            f"produces ({vae_cfg.latent_channels}ch, "
+            f"{vae_cfg.spatial_downsample}x)")
+
+
+def _init_tiny_decoder(preset: Preset, config: StreamConfig, mesh,
+                       path: Optional[str], seed: int):
+    """(params, TinyDecoderConfig) for config.decoder="tiny": load the
+    distilled artifact when given, else random-init with a loud warning
+    (an untrained tiny decoder outputs noise — it exists so tests and
+    speed benches can exercise the path without weights)."""
+    if config.decoder != "tiny" and not path:
+        return None
+    from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae
+
+    if path:
+        params, tcfg = tiny_vae.load(path)
+        _check_tiny_cfg(tcfg, preset.vae, path)
+    else:
+        warnings.warn(
+            "decoder='tiny' without a trained artifact: random-init tiny "
+            "decoder (output is noise; distill one with "
+            "training/tiny_vae.py or pass tiny_decoder_path)")
+        tcfg = tiny_vae.TinyDecoderConfig.from_vae(preset.vae)
+        params = tiny_vae.init_jit(
+            stream(key_from_seed(seed), "tiny_vae"), tcfg)
+    if mesh is not None:
+        from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+        params = sharding.replicate(params, mesh)
+    return params, tcfg
 
 
 def _finalize_encoder(encoder: PromptEncoder, config: StreamConfig, mesh):
@@ -149,6 +188,9 @@ class EditPipeline:
     mesh: Optional[Any] = None  # jax.sharding.Mesh for TP / parallel CFG
     prompt_cache: Optional[Any] = None  # pipeline.cache.PromptCache
     latent_cache: Optional[Any] = None  # pipeline.cache.LatentCache
+    # (params, TinyDecoderConfig) for the TAESD-analog output decoder
+    # (models/tiny_vae.py); active when config.decoder == "tiny".
+    tiny_vae: Optional[Tuple[Any, Any]] = None
     _jit_cache: Dict[Any, Any] = field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -163,11 +205,14 @@ class EditPipeline:
         seed: int = 0,
         encoder: Optional[PromptEncoder] = None,
         mesh=None,
+        tiny_decoder_path: Optional[str] = None,
     ) -> "EditPipeline":
         """Random-init construction (weights loaded separately via
         models.convert when a checkpoint is available). With a mesh, the
         transformer is tensor-parallel-sharded over the `model` axis and
-        cfg_mode="parallel" splits cond/uncond over the `cfg` axis."""
+        cfg_mode="parallel" splits cond/uncond over the `cfg` axis.
+        tiny_decoder_path loads a distilled tiny output decoder and
+        implies config.decoder="tiny"."""
         if isinstance(preset, str):
             preset = get_preset(preset)
         config = config or StreamConfig(model_preset=preset.name)
@@ -190,6 +235,10 @@ class EditPipeline:
 
             tfm_params = sharding.shard_transformer_params(tfm_params, mesh)
             vae_params = sharding.replicate(vae_params, mesh)
+        tiny = _init_tiny_decoder(preset, config, mesh, tiny_decoder_path,
+                                  seed)
+        if tiny is not None and config.decoder != "tiny":
+            config = config.replace(decoder="tiny")
         if encoder is None:
             encoder = _default_encoder(preset, config, seed)
         encoder = _finalize_encoder(encoder, config, mesh)
@@ -201,7 +250,7 @@ class EditPipeline:
         return cls(preset=preset, config=config, tfm_params=tfm_params,
                    vae_params=vae_params, encoder=encoder, mesh=mesh,
                    prompt_cache=PromptCache(encoder),
-                   latent_cache=LatentCache())
+                   latent_cache=LatentCache(), tiny_vae=tiny)
 
     @classmethod
     def from_checkpoint(
@@ -213,6 +262,7 @@ class EditPipeline:
         vl_path: Optional[str] = None,
         lora_path: Optional[str] = None,
         mesh=None,
+        tiny_decoder_path: Optional[str] = None,
     ) -> "EditPipeline":
         """Construct from orbax checkpoints produced by
         models.checkpoint (LoRA fused → optional int8/int4 → optional TP
@@ -404,6 +454,10 @@ class EditPipeline:
         else:
             encoder = _default_encoder(preset, config, seed=0)
         encoder = _finalize_encoder(encoder, config, mesh)
+        tiny = _init_tiny_decoder(preset, config, mesh, tiny_decoder_path,
+                                  seed=0)
+        if tiny is not None and config.decoder != "tiny":
+            config = config.replace(decoder="tiny")
         from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
             LatentCache,
             PromptCache,
@@ -412,7 +466,7 @@ class EditPipeline:
         return cls(preset=preset, config=config, tfm_params=tfm_params,
                    vae_params=vae_params, encoder=encoder, mesh=mesh,
                    prompt_cache=PromptCache(encoder),
-                   latent_cache=LatentCache())
+                   latent_cache=LatentCache(), tiny_vae=tiny)
 
     # ------------------------------------------------------------------
     # Jitted stages (cached per static key)
@@ -447,24 +501,72 @@ class EditPipeline:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    @property
+    def _decode_params(self):
+        """Param tree the decode dispatch consumes: the tiny decoder's
+        when it is active, the full VAE's otherwise. Call sites pass this
+        so the fused/stream graphs stay agnostic to the decoder kind."""
+        if self.config.decoder == "tiny" and self.tiny_vae is not None:
+            return self.tiny_vae[0]
+        return self.vae_params
+
+    def load_tiny_decoder(self, path: str) -> None:
+        """Load a distilled tiny decoder (training/tiny_vae.py artifact)
+        and switch output decoding to it (config.decoder="tiny")."""
+        from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae
+
+        params, tcfg = tiny_vae.load(path)
+        _check_tiny_cfg(tcfg, self.preset.vae, path)
+        if self.mesh is not None:
+            from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+            params = sharding.replicate(params, self.mesh)
+        self.tiny_vae = (params, tcfg)
+        self.config = self.config.replace(decoder="tiny")
+
     def _vae_decode_fn(self, hw: Tuple[int, int]):
         """final packed tokens → (pixels, f32 latents), one jit: unpack,
         VAE decode, fused [-1,1]→[0,255] epilogue. Pixels are uint8 HWC
         (¼ the device→host bytes of f32), or YCbCr 4:2:0 planes (half the
         bytes again) when config.transfer_format="yuv420" — fetch them
-        with :meth:`_fetch_images`. Latents feed the temporal cache."""
+        with :meth:`_fetch_images`. Latents feed the temporal cache.
+
+        ``params`` must be :attr:`_decode_params` — the full VAE tree, or
+        the tiny decoder's when config.decoder="tiny" (encode still runs
+        the full VAE either way; only the output stage is approximated)."""
         fmt = self.config.transfer_format
-        key = ("vae_decode", hw, fmt)
+        kind = "full"
+        if self.config.decoder == "tiny":
+            if self.tiny_vae is None:
+                warnings.warn(
+                    "config.decoder='tiny' but no tiny decoder is loaded "
+                    "(load_tiny_decoder / create with decoder='tiny'); "
+                    "falling back to the full VAE decoder")
+            else:
+                kind = "tiny"
+        key = ("vae_decode", hw, fmt, kind)
         if key not in self._jit_cache:
             cfg = self.preset.vae
             zh, zw = hw
 
             vdt = jnp.dtype(cfg.dtype)
+            if kind == "tiny":
+                from qwen_image_edit_streamdiffusion_tpu.models import (
+                    tiny_vae,
+                )
+
+                tcfg = self.tiny_vae[1]
+
+                def _to_pixels(params, z):
+                    return tiny_vae.decode(params, tcfg, z)
+            else:
+                def _to_pixels(params, z):
+                    return vae_mod.decode(params, cfg, z.astype(vdt))
 
             @jax.jit
             def run(params, tokens):
                 z = tfm.unpack_latents(tokens.astype(jnp.float32), zh, zw)
-                x = vae_mod.decode(params, cfg, z.astype(vdt))
+                x = _to_pixels(params, z)
                 x32 = x.astype(jnp.float32)
                 x32 = jnp.clip((x32 * 0.5 + 0.5) * 255.0, 0.0, 255.0)
                 if fmt == "yuv420":
@@ -953,7 +1055,7 @@ class EditPipeline:
         )
 
         pixels, latents = self._vae_decode_fn((zh, zw))(
-            self.vae_params, final_tokens
+            self._decode_params, final_tokens
         )
         out_images = self._fetch_images(pixels)
         return EditResult(
@@ -1099,7 +1201,7 @@ class EditPipeline:
                     jnp.float32(cfg_scale))
         final = final[:r_real]
         pixels, latents = self._vae_decode_fn((zh, zw))(
-            self.vae_params, final
+            self._decode_params, final
         )
         out_images = self._fetch_images(pixels)
 

@@ -219,8 +219,9 @@ class RealtimePipeline:
         so it hands off onto the preview-resolution temporal grid."""
         p = self.pipe
         fmt = self.config.transfer_format  # both upload and fetch direction
+        dk = p.config.decoder if p.tiny_vae is not None else "full"
         key = ("stream_fused", kind, hw_in, zh, zw, tuple(cond_shapes),
-               txt_len, steps, start, use_cfg, fmt, prev_pool)
+               txt_len, steps, start, use_cfg, fmt, prev_pool, dk)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
@@ -264,13 +265,13 @@ class RealtimePipeline:
         make_x0 = make_x0_key if kind == "key" else make_x0_temporal
 
         @jax.jit
-        def fused(tfm_p, vae_p, frame_u8, prev, rng, ns, txt, mask,
+        def fused(tfm_p, vae_p, dec_p, frame_u8, prev, rng, ns, txt, mask,
                   neg_txt, neg_mask, cfg_scale):
-            cond = enc(vae_p, frame_u8)
+            cond = enc(vae_p, frame_u8)  # encode always runs the full VAE
             x0 = make_x0(rng, prev, ns)
             final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
                         cfg_scale)
-            pix, z = dec(vae_p, final)
+            pix, z = dec(dec_p, final)
             if prev_pool > 1:
                 # keyframe→preview handoff: exact s×s average pool onto
                 # the temporal frames' latent grid (grids nest evenly by
@@ -297,8 +298,9 @@ class RealtimePipeline:
         bit-identical to the same session dispatching alone."""
         p = self.pipe
         fmt = self.config.transfer_format
+        dk = p.config.decoder if p.tiny_vae is not None else "full"
         key = ("stream_fused_rows", rows, kind, hw_in, zh, zw,
-               tuple(cond_shapes), txt_len, steps, start, use_cfg, fmt)
+               tuple(cond_shapes), txt_len, steps, start, use_cfg, fmt, dk)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
@@ -339,13 +341,13 @@ class RealtimePipeline:
         make_x0 = make_x0_key if kind == "key" else make_x0_temporal
 
         @jax.jit
-        def fused(tfm_p, vae_p, frames_u8, prev, keys, ns, txt, mask,
+        def fused(tfm_p, vae_p, dec_p, frames_u8, prev, keys, ns, txt, mask,
                   neg_txt, neg_mask, cfg_scale):
-            cond = enc(vae_p, frames_u8)
+            cond = enc(vae_p, frames_u8)  # encode always runs the full VAE
             x0 = make_x0(keys, prev, ns)
             final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
                         cfg_scale)
-            return dec(vae_p, final)
+            return dec(dec_p, final)
 
         p._jit_cache[key] = fused
         return fused
@@ -465,7 +467,7 @@ class RealtimePipeline:
             prev = jnp.zeros((1, zh, zw, p.preset.vae.latent_channels),
                              jnp.float32)
         pixels, latents = fn(
-            p.tfm_params, p.vae_params, frame_u8, prev, key,
+            p.tfm_params, p.vae_params, p._decode_params, frame_u8, prev, key,
             jnp.float32(cfgc.noise_strength), txt, mask, neg_txt, neg_mask,
             jnp.float32(cfgc.true_cfg_scale),
         )
@@ -823,7 +825,7 @@ def submit_frames_batched(sessions: List[RealtimePipeline],
     fn = lead._fused_frames_fn(len(sessions), kind, cond_hw, zh, zw,
                                cond_shapes, txt_len, steps, start, use_cfg)
     pixels, latents = fn(
-        p.tfm_params, p.vae_params, frames_u8, prev, keys,
+        p.tfm_params, p.vae_params, p._decode_params, frames_u8, prev, keys,
         jnp.float32(c0.noise_strength), txt, mask, neg_txt, neg_mask,
         jnp.float32(c0.true_cfg_scale),
     )

@@ -265,6 +265,11 @@ def main(argv=None):
     ap.add_argument("--vae", default=os.environ.get("QIE_CKPT_VAE"))
     ap.add_argument("--vl", default=os.environ.get("QIE_CKPT_VL"))
     ap.add_argument("--lora", default=os.environ.get("QIE_CKPT_LORA"))
+    ap.add_argument("--tiny-decoder",
+                    default=os.environ.get("QIE_TINY_DECODER"),
+                    help="distilled tiny output decoder "
+                    "(training/tiny_vae.py artifact) — decodes latents in "
+                    "~1/30th the device time; implies decoder='tiny'")
     # Deployment memory levers (benchmarks/lower_full.py budgets): int8
     # fits the 20B serving loop on a v5e-4, int4 (the NF4 rung) targets a
     # 2-chip slice. Same flag names as lower_full.
@@ -329,6 +334,7 @@ def main(argv=None):
         mesh=mesh,
         transformer_path=args.transformer, vae_path=args.vae,
         vl_path=args.vl, lora_path=args.lora,
+        tiny_decoder_path=args.tiny_decoder,
     )
     engine.queue_requests = os.environ.get("QIE_QUEUE", "") == "1"
     print(f"Ready. Serving on http://{args.host}:{args.port} "

@@ -1,0 +1,145 @@
+"""Tiny output decoder (models/tiny_vae.py + training/tiny_vae.py).
+
+The TAESD analog: StreamDiffusion pairs its realtime loop with a tiny
+autoencoder; no such artifact exists for this latent space, so the
+framework distills one from the full VAE decoder and serves it via
+StreamConfig.decoder="tiny" (reference decode path it replaces:
+qwen_realtime.py:188-199).
+"""
+
+import dataclasses
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae as tv
+from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+    EditPipeline,
+    _check_tiny_cfg,
+)
+from qwen_image_edit_streamdiffusion_tpu.training import tiny_vae as tvt
+
+
+TCFG = tv.TinyDecoderConfig(latent_channels=16, width=8,
+                            blocks_per_stage=2, spatial_upsample=8,
+                            dtype="float32")
+
+
+def _stream_cfg(**kw):
+    base = dict(model_preset="tiny", width=64, height=64,
+                num_inference_steps=2, cfg_mode="none",
+                vae_image_area=64 * 64, vl_image_area=32 * 32,
+                use_vl_encoder=False)
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+def test_decode_shape_and_range():
+    params = tv.init(jax.random.PRNGKey(0), TCFG)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    x = jax.jit(lambda p, z: tv.decode(p, TCFG, z))(params, z)
+    assert x.shape == (2, 64, 64, 3)  # 8× spatial upsample
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert float(x.min()) >= -1.0 and float(x.max()) <= 1.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    params = tv.init(jax.random.PRNGKey(0), dataclasses.replace(
+        TCFG, dtype="bfloat16"))
+    path = str(tmp_path / "dec.safetensors")
+    tv.save(path, params)
+    loaded, cfg = tv.load(path)
+    assert cfg == dataclasses.replace(TCFG, dtype="bfloat16")
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distill_improves_match_with_full_decoder():
+    """The core mechanism: training moves PSNR(tiny, full-decode) up."""
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    trainer = tvt.TinyVAETrainer.from_pipeline(
+        pipe, tvt.TinyVAETrainConfig(width=8, learning_rate=3e-3))
+    imgs = tvt._synthetic_images(64, 4)
+    batch = tvt.build_decoder_batch(pipe, imgs)
+    before = trainer.eval_psnr(batch)
+    losses = [trainer.step(batch) for _ in range(30)]
+    after = trainer.eval_psnr(batch)
+    assert losses[-1] < losses[0]
+    assert after > before + 1.0, (before, after)
+
+
+def test_train_save_serve_roundtrip(tmp_path):
+    """distill → save → create(tiny_decoder_path=…) → edit: the artifact
+    the server's --tiny-decoder flag consumes."""
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    trainer = tvt.TinyVAETrainer.from_pipeline(
+        pipe, tvt.TinyVAETrainConfig(width=8))
+    trainer.step(tvt.build_decoder_batch(pipe, tvt._synthetic_images(64, 2)))
+    path = str(tmp_path / "dec.safetensors")
+    trainer.save(path)
+
+    served = EditPipeline.create("tiny", config=_stream_cfg(), seed=0,
+                                 tiny_decoder_path=path)
+    assert served.config.decoder == "tiny"
+    assert served.tiny_vae[1].width == 8
+    img = imaging.make_test_image(64, 64, "gradient")
+    out = served(img, "edit", num_inference_steps=2, seed=1).images[0]
+    assert out.size == (64, 64)
+
+
+def test_tiny_decoder_changes_output_not_shape():
+    """decoder="tiny" swaps only the output stage; switching back to
+    "full" on the same pipeline re-uses the full path (jit-cache keys
+    are decoder-aware)."""
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    img = imaging.make_test_image(64, 64, "circle")
+    full = np.asarray(pipe(img, "p", num_inference_steps=2,
+                           seed=3).images[0])
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tiny_pipe = EditPipeline.create(
+            "tiny", config=_stream_cfg(decoder="tiny"), seed=0)
+        assert any("random-init tiny decoder" in str(x.message) for x in w)
+    tiny = np.asarray(tiny_pipe(img, "p", num_inference_steps=2,
+                                seed=3).images[0])
+    assert tiny.shape == full.shape
+    assert np.any(tiny != full)
+
+    # same pipeline object serves full again after a config flip
+    tiny_pipe.config = tiny_pipe.config.replace(decoder="full")
+    full2 = np.asarray(tiny_pipe(img, "p", num_inference_steps=2,
+                                 seed=3).images[0])
+    np.testing.assert_array_equal(full2, full)
+
+
+def test_stream_frame_with_tiny_decoder():
+    """The fused realtime graph decodes through the tiny path (keyframe
+    AND temporal frames), and the temporal latent handoff still works."""
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(decoder="tiny"),
+                               seed=0)
+    rp = RealtimePipeline(pipe)
+    rp.precompute_conditions("stream")
+    img = imaging.make_test_image(64, 64, "gradient")
+    kf = rp.process_frame(img)  # keyframe
+    tf = rp.process_frame(img)  # temporal
+    assert kf.size == (64, 64) and tf.size == (64, 64)
+
+
+def test_latent_grid_mismatch_raises():
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    bad = dataclasses.replace(TCFG, latent_channels=4)
+    with pytest.raises(ValueError, match="latent grid"):
+        _check_tiny_cfg(bad, pipe.preset.vae, "x")
