@@ -53,8 +53,12 @@ Flags:
               (speed), not memory.
   --stream    AOT the realtime pipeline's fused temporal frame graph
               (VAE encode → re-noise → tail denoise → decode, ONE
-              dispatch) at 1024² with batched CFG: 12.43 GB/chip on
+              dispatch) at 1024² with batched CFG: 14.32 GB/chip on
               v5e-8 — the realtime product deploys at 20B scale too.
+              --tiny-decoder swaps the output stage for the TAESD
+              analog (models/tiny_vae.py): 14.28 GB/chip, near-identical
+              budget — decode temps were never the stream peak; the
+              tiny decoder buys device TIME, not memory.
   --v5e-4     target a 4-chip topology instead of 8.
   --train     AOT the FULL 20B LoRA fine-tune step (value_and_grad through
               all 60 blocks + Adam, per-block remat with in-remat adapter
@@ -371,7 +375,7 @@ def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
     return result
 
 
-def lower_stream(mesh, is_tpu: bool):
+def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
     """AOT the realtime stream's fused TEMPORAL frame graph — VAE encode →
     re-noise → tail denoise → VAE decode in ONE executable — for the 20B
     preset at 1024², TP + batched-CFG on the topology.
@@ -379,8 +383,11 @@ def lower_stream(mesh, is_tpu: bool):
     This is the flagship answer to 1024² realtime (single-chip measures
     2.1 fps, transfer- and model-bound): the model call is TP-sharded
     4-way here, and the whole frame is one dispatch. Proves the realtime
-    product (not just /edit) deploys at full scale."""
+    product (not just /edit) deploys at full scale. tiny_decoder=True
+    swaps the output stage for the TAESD-analog (models/tiny_vae.py) —
+    the encode side still runs the full VAE."""
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+    from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae as tv
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
         EditPipeline,
     )
@@ -396,9 +403,12 @@ def lower_stream(mesh, is_tpu: bool):
     config = StreamConfig(model_preset=preset.name, cfg_mode="batched",
                           width=1024, height=1024,
                           use_flash_attention=is_tpu, fuse_qkv=False,
-                          transfer_format="yuv420")
+                          transfer_format="yuv420",
+                          decoder="tiny" if tiny_decoder else "full")
+    tcfg = tv.TinyDecoderConfig.from_vae(preset.vae)
     pipe = EditPipeline(preset=preset, config=config, tfm_params=None,
-                        vae_params=None, encoder=None, mesh=mesh)
+                        vae_params=None, encoder=None, mesh=mesh,
+                        tiny_vae=(None, tcfg) if tiny_decoder else None)
     rt = RealtimePipeline(pipe=pipe)
 
     zh = zw = 128  # 1024² → 128² latents → 64² patches
@@ -425,9 +435,16 @@ def lower_stream(mesh, is_tpu: bool):
                                             preset.vae)),
     )
     abs_ = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+    if tiny_decoder:
+        dec_abs = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
+            jax.eval_shape(lambda: tv.init(jax.random.PRNGKey(2), tcfg)),
+        )
+    else:
+        dec_abs = vae_abs
     key_dtype = jax.eval_shape(lambda: jax.random.PRNGKey(0)).dtype
     args = (
-        tfm_abs, vae_abs,
+        tfm_abs, vae_abs, dec_abs,
         abs_((1, 512, 512, 6), jnp.uint8),              # yuv420 frame
         abs_((1, zh, zw, preset.vae.latent_channels), jnp.float32),  # prev
         abs_((2,) if key_dtype == jnp.uint32 else (), key_dtype),    # rng
@@ -440,8 +457,10 @@ def lower_stream(mesh, is_tpu: bool):
     )
     t0 = time.time()
     compiled = fn.lower(*args).compile()
+    dec_kind = "tiny decoder" if tiny_decoder else "full decoder"
     print(f"fused temporal stream frame (1024², tail {steps // 2} of "
-          f"{steps} steps, batched CFG) compiled in {time.time() - t0:.1f}s")
+          f"{steps} steps, batched CFG, {dec_kind}) compiled in "
+          f"{time.time() - t0:.1f}s")
     mem = compiled.memory_analysis()
     if prior_conv_env is None:
         del os.environ["QIE_PALLAS_CONV"]
@@ -576,7 +595,8 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          vl: bool = False, vl_bits: int = 0,
          stream: bool = False, cfg_mode: str | None = None,
          rows: int = 1, train: bool = False, rank: int = 16,
-         distill: bool = False, guided: bool = False):
+         distill: bool = False, guided: bool = False,
+         tiny_decoder: bool = False):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
     compile_cache.honor_platform_env()
@@ -597,7 +617,7 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
         return lower_train(mesh, is_tpu, rows=max(rows, 2), rank=rank,
                            distill=distill, guided=guided)
     if stream:
-        return lower_stream(mesh, is_tpu)
+        return lower_stream(mesh, is_tpu, tiny_decoder=tiny_decoder)
     if vl and not loop:
         lower_vl(mesh, is_tpu, vl_bits=vl_bits)
         return
@@ -714,6 +734,7 @@ if __name__ == "__main__":
          vl="--vl" in sys.argv,
          vl_bits=vl_bits,
          stream="--stream" in sys.argv,
+         tiny_decoder="--tiny-decoder" in sys.argv,
          cfg_mode=cfg_mode,
          rows=rows,
          train="--train" in sys.argv,
