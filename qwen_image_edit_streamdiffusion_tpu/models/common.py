@@ -111,14 +111,20 @@ def _pallas_conv_enabled() -> bool:
 
 
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
-           padding: str | Sequence[Tuple[int, int]] = "SAME") -> jnp.ndarray:
+           padding: str | Sequence[Tuple[int, int]] = "SAME",
+           use_pallas: bool = True) -> jnp.ndarray:
     """NHWC conv with HWIO weights — XLA's native TPU conv layout.
 
     Small-channel stride-1 SAME 3×3 convs (the VAE's full-resolution
     stages) route to the Pallas kernel in ops/conv.py, which runs them
-    1.3-1.6× faster than XLA's lowering; QIE_PALLAS_CONV=0 disables."""
+    1.3-1.6× faster than XLA's lowering; QIE_PALLAS_CONV=0 disables.
+    use_pallas=False opts a call site out: in a pure conv chain (the tiny
+    decoder — no norms between convs) XLA fuses relu+conv+residual and
+    BEATS the kernel 1.7× (measured 2026-08-19 @1024²: 17.0 vs 29.3 ms
+    per tiny decode), while inside the full VAE the kernel still wins
+    (55.3 vs 59.1 ms per decode)."""
     w = p["w"].astype(x.dtype)
-    if _pallas_conv_enabled():
+    if use_pallas and _pallas_conv_enabled():
         from qwen_image_edit_streamdiffusion_tpu.ops import conv as pconv
 
         if pconv.supported(x, w, stride, padding):

@@ -269,7 +269,7 @@ def main(argv=None):
                     default=os.environ.get("QIE_TINY_DECODER"),
                     help="distilled tiny output decoder "
                     "(training/tiny_vae.py artifact) — decodes latents in "
-                    "~1/30th the device time; implies decoder='tiny'")
+                    "~1/3 the decode device time (measured 17 vs 55 ms @1024²); implies decoder='tiny'")
     # Deployment memory levers (benchmarks/lower_full.py budgets): int8
     # fits the 20B serving loop on a v5e-4, int4 (the NF4 rung) targets a
     # 2-chip slice. Same flag names as lower_full.
