@@ -602,6 +602,45 @@ def bench_serve(args):
               f"p90 {ts[min(len(ts) - 1, -(-9 * len(ts) // 10) - 1)]:.3f}s  "
               f"(n={len(ts)}, lag-1 responses)")
 
+        # binary WebSocket stream (/stream, serving/ws.py): ONE persistent
+        # full-duplex socket, raw JPEG bytes both directions — no per-frame
+        # TCP handshake, HTTP headers, JSON parse or base64 (+33% bytes).
+        # The sender thread pushes frames continuously while this thread
+        # drains results, so upload/compute/download overlap; compare
+        # against the per-POST pipelined-session p50 above.
+        from qwen_image_edit_streamdiffusion_tpu.serving.ws import WSClient
+
+        c = WSClient("127.0.0.1", port)
+        c.recv()  # ready
+        c.send_config(prompt="Transform into oil painting style",
+                      steps=args.steps, pipeline=True)
+        c.recv()  # ack
+        nf = n * 2
+        payloads = []
+        for i in range(nf + 1):
+            frame = Image.fromarray(np.roll(base, 11 * i + 5, axis=1))
+            buf = io.BytesIO()
+            frame.save(buf, "JPEG", quality=90)
+            payloads.append(buf.getvalue())
+        c.send_image(payloads[0])  # keyframe + session warm, off the clock
+        got = c.recv()
+        assert not isinstance(got, dict), f"ws warm frame failed: {got}"
+        t0 = time.time()
+
+        def _ws_send():
+            for p in payloads[1:]:
+                c.send_image(p)
+
+        threading.Thread(target=_ws_send, daemon=True).start()
+        for _ in range(nf):
+            got = c.recv()
+            assert not isinstance(got, dict), f"ws frame failed: {got}"
+        wall = time.time() - t0
+        c.close()
+        print(f"  /stream ws(full-duplex) {nf / wall:.1f} fps "
+              f"({wall / nf:.3f}s/frame aggregate, n={nf}, one socket, "
+              f"binary frames, lag-1)")
+
         # cross-request dynamic batching (--dynamic-batch K): K concurrent
         # clients with distinct images+prompts; queued compatible requests
         # coalesce into one denoise dispatch (the reference 429-rejects

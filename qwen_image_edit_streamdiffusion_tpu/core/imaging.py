@@ -41,11 +41,38 @@ def open_rgb(path: str) -> Image.Image:
     return img.convert("RGB")
 
 
-def pil_to_base64(img: Image.Image, quality: int = 90) -> str:
-    """Encode PIL image as base64 JPEG (q=90 — reference server.py:116-120)."""
+def to_pil(x) -> Image.Image:
+    """Accept either an already-decoded PIL image (binary transports —
+    the WebSocket stream endpoint, serving/ws.py — hand the engine PIL
+    directly, skipping base64) or a base64 string (the reference HTTP
+    wire). PIL inputs pass through untouched: the binary transport applies
+    EXIF/RGB normalization at its own decode boundary."""
+    if isinstance(x, Image.Image):
+        return x
+    return base64_to_pil(x)
+
+
+def bytes_to_pil(data: bytes) -> Image.Image:
+    """Decode raw image bytes (JPEG/PNG/...) with the serving input
+    convention: EXIF orientation applied, RGB — the binary-transport twin
+    of base64_to_pil."""
+    img = Image.open(io.BytesIO(data))
+    img = ImageOps.exif_transpose(img)
+    return img.convert("RGB")
+
+
+def pil_to_jpeg(img: Image.Image, quality: int = 90) -> bytes:
+    """Encode PIL image as JPEG bytes (q=90, the reference's wire quality
+    — server.py:116-120). Binary transports ship these bytes directly;
+    the HTTP path base64-wraps them (pil_to_base64)."""
     buf = io.BytesIO()
     img.save(buf, format="JPEG", quality=quality)
-    return base64.b64encode(buf.getvalue()).decode()
+    return buf.getvalue()
+
+
+def pil_to_base64(img: Image.Image, quality: int = 90) -> str:
+    """Encode PIL image as base64 JPEG (q=90 — reference server.py:116-120)."""
+    return base64.b64encode(pil_to_jpeg(img, quality)).decode()
 
 
 def resize(img: Image.Image, width: int, height: int) -> Image.Image:

@@ -293,8 +293,11 @@ class InferenceEngine:
         denoise dispatch — "image" stays variation 0 on the wire, the
         rest ride in an additive "images" list). Explicit-None request
         values — e.g. from the FastAPI model dump — mean "use the
-        default", same as an absent key."""
-        img = imaging.base64_to_pil(request["image"])
+        default", same as an absent key. Binary transports (serving/ws.py)
+        pass `image`/`ref_image` as already-decoded PIL and set
+        `raw_response` so the response carries PIL back instead of
+        base64 — no base64/JSON on either side of the device."""
+        img = imaging.to_pil(request["image"])
         prompt = request.get("prompt", "Transform into oil painting style")
         steps = int(request.get("steps", self.default_steps))
         use_cfg = bool(request.get("use_cfg", False))
@@ -311,7 +314,7 @@ class InferenceEngine:
                 raise InvalidRequest(
                     f"ref_mode must be 'blend' or 'condition', "
                     f"got {ref_mode!r}")
-            ref = imaging.base64_to_pil(ref_b64)
+            ref = imaging.to_pil(ref_b64)
             if ref_mode == "condition":
                 extra_images = [imaging.resize(ref, s, s)]
             else:
@@ -342,6 +345,9 @@ class InferenceEngine:
             "seed": 42 if seed is None else int(seed),
             "num_images": max(1, min(int(request.get("num_images") or 1),
                                      cap)),
+            # binary transports (serving/ws.py): hand PIL back instead of
+            # base64 — the transport JPEG-encodes at its own boundary
+            "raw_response": bool(request.get("raw_response")),
         }
 
     def _response(self, item: Dict[str, Any], result: Any, start: float,
@@ -349,16 +355,17 @@ class InferenceEngine:
         elapsed = time.time() - start
         self.total_requests += 1
         self.last_elapsed = elapsed
+        enc = ((lambda im: im) if item.get("raw_response")
+               else imaging.pil_to_base64)
         resp = {
-            "image": imaging.pil_to_base64(result.images[0]),
+            "image": enc(result.images[0]),
             "elapsed": elapsed,
             "status": "success",
         }
         if item["num_images"] > 1:
             # extras only — variation 0 is already in "image"; repeating
             # it would ship (and base64-encode) the same bytes twice
-            resp["images"] = [imaging.pil_to_base64(im)
-                              for im in result.images[1:]]
+            resp["images"] = [enc(im) for im in result.images[1:]]
         if batched_with is not None and batched_with > 1:
             # additive extension field: how many requests shared the
             # denoise dispatch (lets clients/benchmarks observe coalescing)
@@ -566,7 +573,8 @@ class InferenceEngine:
                 e.result = self._serve_stream_frame(
                     e.item["sid"], sess, e.item["img"],
                     e.item["pipelined"], e.start, handle=h,
-                    batched_with=len(batch))
+                    batched_with=len(batch),
+                    raw=bool(e.item["request"].get("raw_response")))
             except BaseException as exc:
                 e.error = exc
             finally:
@@ -576,7 +584,8 @@ class InferenceEngine:
         try:
             e.result = self._serve_stream_frame(
                 e.item["sid"], sess, e.item["img"], e.item["pipelined"],
-                e.start)
+                e.start,
+                raw=bool(e.item["request"].get("raw_response")))
         except BaseException as exc:
             e.error = exc
         finally:
@@ -621,7 +630,9 @@ class InferenceEngine:
         """
         img, pipelined = self._parse_stream_request(request)
         sess = self._resolve_stream_session(sid, request)
-        return self._serve_stream_frame(sid, sess, img, pipelined, start)
+        return self._serve_stream_frame(
+            sid, sess, img, pipelined, start,
+            raw=bool(request.get("raw_response")))
 
     def _parse_stream_request(self, request: Dict[str, Any]):
         """Host-side prep of a stream-session request (decode, optional
@@ -629,7 +640,7 @@ class InferenceEngine:
         batching runs it in the requesting thread BEFORE enqueueing —
         validation errors (422) surface there, and the leader's serial
         work shrinks."""
-        img = imaging.base64_to_pil(request["image"])
+        img = imaging.to_pil(request["image"])
         s = self.input_size
         if request.get("ref_image"):
             ref_mode = request.get("ref_mode", "blend")
@@ -637,7 +648,7 @@ class InferenceEngine:
                 raise InvalidRequest(
                     "stream_session supports ref_mode='blend' only (the "
                     "stream path conditions on the live frame itself)")
-            ref = imaging.base64_to_pil(request["ref_image"])
+            ref = imaging.to_pil(request["ref_image"])
             img = imaging.blend(
                 imaging.resize(img, s, s), imaging.resize(ref, s, s),
                 float(request.get("blend_ratio", 0.5)),
@@ -686,6 +697,7 @@ class InferenceEngine:
                             pipelined: bool, start: float,
                             handle: Any = None,
                             batched_with: Optional[int] = None,
+                            raw: bool = False,
                             ) -> Dict[str, Any]:
         """Dispatch/collect one session frame and build the wire response.
         `handle` set means the frame was already dispatched as a row of a
@@ -721,7 +733,7 @@ class InferenceEngine:
         self.total_requests += 1
         self.last_elapsed = elapsed
         resp = {
-            "image": imaging.pil_to_base64(out),
+            "image": out if raw else imaging.pil_to_base64(out),
             "elapsed": elapsed,
             "status": "success",
             "stream_session": sid,

@@ -75,7 +75,7 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/":
             self._send(200, {
                 "name": SERVER_NAME,
-                "endpoints": ["/health", "/edit"],
+                "endpoints": ["/health", "/edit", "/stream"],
                 "status": "running",
             })
         elif self.path == "/health":
@@ -86,6 +86,14 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
             self._send_html(200, INDEX_HTML)
+        elif self.path == "/stream":
+            from qwen_image_edit_streamdiffusion_tpu.serving import ws
+
+            if not ws.is_upgrade(self):
+                self._send(426, {"detail": "websocket upgrade required "
+                                           "(binary stream endpoint)"})
+                return
+            ws.handle_connection(self, self.engine)
         else:
             self._send(404, {"detail": "Not Found"})
 

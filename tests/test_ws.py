@@ -1,0 +1,217 @@
+"""Binary WebSocket stream endpoint (serving/ws.py): RFC 6455 framing,
+handshake, and the full-duplex binary edit/stream wire over a live server.
+
+The endpoint exists because the reference streams webcam frames as
+per-frame HTTP POSTs of base64 JPEG (frontend/src/App.js:147-178 →
+server.py:183-231); /stream replaces that with one persistent socket and
+raw bytes in both directions.
+"""
+
+import io
+import json
+import struct
+import threading
+
+import pytest
+from PIL import Image
+
+from qwen_image_edit_streamdiffusion_tpu.core import imaging
+from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
+from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+    EditPipeline,
+)
+from qwen_image_edit_streamdiffusion_tpu.runtime.engine import InferenceEngine
+from qwen_image_edit_streamdiffusion_tpu.serving import ws
+from qwen_image_edit_streamdiffusion_tpu.serving.server import make_server
+
+TINY_STREAM = StreamConfig(
+    width=64, height=64,
+    vae_image_area=64 * 64, vl_image_area=32 * 32,
+    num_inference_steps=2,
+    model_preset="tiny",
+)
+
+
+# ---------------------------------------------------------------------------
+# Framing / handshake units (no server)
+# ---------------------------------------------------------------------------
+
+def test_accept_key_rfc6455_vector():
+    # the worked example from RFC 6455 §1.3
+    assert (ws.accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+            == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+
+
+def _pipe():
+    """A connected (reader, writer) file-object pair via socketpair."""
+    import socket
+
+    a, b = socket.socketpair()
+    return a.makefile("rb"), b.makefile("wb"), a, b
+
+
+@pytest.mark.parametrize("size", [5, 200, 70_000, 1 << 17])
+def test_frame_roundtrip_masked_all_length_encodings(size):
+    # 5 → 7-bit length; 200 → 16-bit; 70000 → 16-bit; 131072 → 64-bit
+    buf = io.BytesIO()
+    payload = (bytes(range(256)) * ((size + 255) // 256))[:size]
+    ws.write_frame(buf, ws.OP_BINARY, payload, mask=True)
+    opcode, got, fin = ws.read_frame(io.BytesIO(buf.getvalue()))
+    assert (opcode, fin) == (ws.OP_BINARY, True)
+    assert got == payload
+
+
+def test_fragmented_message_reassembly_with_interleaved_ping():
+    rf, wf, sa, sb = _pipe()
+    # hand-rolled fragments: TEXT(FIN=0) + PING + CONT(FIN=1)
+    wf.write(struct.pack("!BB", 0x01, 3) + b"abc")          # no FIN
+    wf.write(struct.pack("!BB", 0x89, 2) + b"hi")           # ping, FIN
+    wf.write(struct.pack("!BB", 0x80, 3) + b"def")          # cont, FIN
+    wf.flush()
+    # reply side for the pong
+    rf2, wf2 = sb.makefile("rb"), sa.makefile("wb")
+    opcode, data = ws.read_message(rf, wf2)
+    assert (opcode, data) == (ws.OP_TEXT, b"abcdef")
+    opcode, pong, fin = ws.read_frame(rf2)
+    assert (opcode, pong) == (ws.OP_PONG, b"hi")
+    sa.close(), sb.close()
+
+
+# ---------------------------------------------------------------------------
+# Live server
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = EditPipeline.create("tiny", config=TINY_STREAM, seed=0)
+    engine = InferenceEngine(pipeline=pipe, input_size=64, default_steps=2)
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield "127.0.0.1", port, engine
+    srv.shutdown()
+
+
+def _frame(i: int) -> Image.Image:
+    img = imaging.make_test_image(64, 64, "gradient")
+    px = img.load()
+    px[i % 64, 0] = (255, 0, 0)
+    return img
+
+
+def test_stream_websocket_session_frames(server):
+    host, port, engine = server
+    c = ws.WSClient(host, port)
+    assert c.recv()["status"] == "ready"
+    c.send_config(prompt="make it noir", steps=2, pipeline=True)
+    assert c.recv()["status"] == "ok"
+    metas = []
+    for i in range(3):
+        c.send_image(_frame(i))
+        meta, jpeg = c.recv()
+        out = Image.open(io.BytesIO(jpeg))
+        assert out.size == (64, 64) and out.format == "JPEG"
+        assert meta["status"] == "success"
+        metas.append(meta)
+    # pipelined lag semantics: prime frame lag 0, then steady lag 1
+    assert metas[0]["lag"] == 0 and metas[1]["lag"] == 1
+    assert metas[0]["keyframe"] is True
+    assert [m["frame"] for m in metas] == [1, 2, 3]
+    assert metas[0]["stream_session"].startswith("ws-")
+    c.close()
+
+
+def test_stream_websocket_live_prompt_switch(server):
+    host, port, _ = server
+    c = ws.WSClient(host, port)
+    c.recv()
+    c.send_config(prompt="sketch style", pipeline=False)
+    c.recv()
+    c.send_image(_frame(0))
+    meta, _ = c.recv()
+    assert meta["frame"] == 1
+    # mid-stream TEXT = live prompt switch; session (and its latent) kept
+    c.send_config(prompt="oil painting style")
+    assert c.recv()["status"] == "ok"
+    c.send_image(_frame(1))
+    meta, _ = c.recv()
+    assert meta["frame"] == 2 and meta["keyframe"] is False
+    c.close()
+
+
+def test_stream_websocket_sessionless_edit_mode(server):
+    host, port, _ = server
+    c = ws.WSClient(host, port)
+    c.recv()
+    c.send_config(session=False, prompt="a painting")
+    c.recv()
+    c.send_image(_frame(0))
+    meta, jpeg = c.recv()
+    assert meta["status"] == "success"
+    assert "stream_session" not in meta  # plain /edit semantics
+    out = Image.open(io.BytesIO(jpeg))
+    # sessionless output = area-1024² scaled (tiny config pins 64²)
+    assert out.size == (64, 64)
+    c.close()
+
+
+def test_stream_websocket_errors_keep_connection(server):
+    host, port, _ = server
+    c = ws.WSClient(host, port)
+    c.recv()
+    # unknown option key → 422 text error
+    c.send_config(promt="typo")
+    err = c.recv()
+    assert err["status"] == "error" and err["code"] == 422
+    # undecodable binary → 422 text error, socket still serves
+    ws.write_frame(c.wfile, ws.OP_BINARY, b"not an image", mask=True)
+    err = c.recv()
+    assert err["status"] == "error" and err["code"] == 422
+    c.send_config(prompt="still alive", pipeline=False)
+    assert c.recv()["status"] == "ok"
+    c.send_image(_frame(1))
+    meta, _ = c.recv()
+    assert meta["status"] == "success"
+    c.close()
+
+
+def test_stream_endpoint_without_upgrade_is_426(server):
+    import urllib.error
+    import urllib.request
+
+    host, port, _ = server
+    try:
+        urllib.request.urlopen(f"http://{host}:{port}/stream", timeout=60)
+        assert False, "expected HTTP 426"
+    except urllib.error.HTTPError as e:
+        assert e.code == 426
+        assert "upgrade" in json.loads(e.read())["detail"].lower()
+
+
+def test_raw_response_flag_not_exposed_via_http(server):
+    """HTTP clients can't request PIL objects: raw_response through the
+    JSON wire must still produce a JSON-serializable response (the flag
+    rides the request dict, so the HTTP route would 500 on json.dumps —
+    acceptable, but it must not crash the server thread)."""
+    import base64
+
+    host, port, _ = server
+    buf = io.BytesIO()
+    _frame(0).save(buf, "JPEG")
+    body = {"image": base64.b64encode(buf.getvalue()).decode(),
+            "prompt": "x", "raw_response": True}
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://{host}:{port}/edit", json.dumps(body).encode(),
+        {"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200  # if it serialized, fine
+    except urllib.error.HTTPError as e:
+        assert e.code == 500  # loud, contained failure is acceptable
+    # server still alive
+    with urllib.request.urlopen(f"http://{host}:{port}/health",
+                                timeout=60) as r:
+        assert r.status == 200
