@@ -47,6 +47,8 @@ INDEX_HTML = """<!doctype html>
   <label><input type="checkbox" id="cfg"> CFG (higher quality, slower)</label>
   <label id="streamrow"><input type="checkbox" id="stream"> Stream webcam
     (temporal session: keyframes re-anchor, in-between frames refine-only)</label>
+  <label id="wsrow"><input type="checkbox" id="wst" checked> Binary WebSocket
+    transport (raw JPEG both ways, full-duplex; unchecked = HTTP POSTs)</label>
   <label id="blendrow" style="display:none">Blend:
     <input type="range" id="blend" min="0" max="1" step="0.05" value="0.5"></label>
   <button id="go">Edit</button>
@@ -64,13 +66,15 @@ function setMode(m){mode=m;for(const k in tabs)tabs[k].classList.toggle('active'
  $('reffile').style.display=m==='composite'?'block':'none';
  $('blendrow').style.display=m==='composite'?'block':'none';
  $('streamrow').style.display=m==='webcam'?'block':'none';
- if(m!=='webcam')$('stream').checked=false;}
+ $('wsrow').style.display=m==='webcam'?'block':'none';
+ if(m!=='webcam'){$('stream').checked=false;wsStop();}}
 for(const k in tabs)tabs[k].onclick=()=>setMode(k);
 $('steps').oninput=e=>$('stepsv').textContent=e.target.value;
 navigator.mediaDevices.getUserMedia({video:true}).then(s=>$('video').srcObject=s).catch(()=>{});
-function crop512(src,w,h){const c=$('canvas');c.width=512;c.height=512;
+function drawCrop(src,w,h){const c=$('canvas');c.width=512;c.height=512;
  const s=Math.min(w,h);c.getContext('2d').drawImage(src,(w-s)/2,(h-s)/2,s,s,0,0,512,512);
- return c.toDataURL('image/jpeg',0.9);}
+ return c;}
+function crop512(src,w,h){return drawCrop(src,w,h).toDataURL('image/jpeg',0.9);}
 function fileToData(f,cb){const img=new Image();img.onload=()=>cb(crop512(img,img.width,img.height));
  img.src=URL.createObjectURL(f);}
 $('reffile').onchange=e=>{if(e.target.files[0])fileToData(e.target.files[0],d=>refData=d);};
@@ -113,10 +117,47 @@ function streamTick(){
   setTimeout(streamTick,0);},
   ()=>setTimeout(streamTick,300));  // retry after transient errors/429
 }
+// Binary WebSocket transport (serving/ws.py): ONE persistent socket, raw
+// JPEG bytes both directions — no per-frame HTTP/base64/JSON, and up to 2
+// frames in flight so upload, device compute and download overlap.
+let ws=null,wsInflight=0;
+const wsUrl=(location.protocol==='https:'?'wss://':'ws://')+location.host+'/stream';
+function wsStop(){if(ws){const w=ws;ws=null;wsInflight=0;w.close();}}
+function wsFrame(){
+ if(!ws||ws.readyState!==1||!$('stream').checked||wsInflight>=2)return;
+ const v=$('video');drawCrop(v,v.videoWidth,v.videoHeight)
+  .toBlob(b=>{if(ws&&ws.readyState===1&&$('stream').checked){
+   ws.send(b);wsInflight++;wsFrame();}},'image/jpeg',0.9);}
+function wsStart(){
+ ws=new WebSocket(wsUrl);ws.binaryType='arraybuffer';
+ ws.onopen=()=>{ws.send(JSON.stringify({prompt:$('prompt').value,
+  steps:+$('steps').value,use_cfg:$('cfg').checked,pipeline:true}));wsFrame();};
+ ws.onmessage=ev=>{
+  if(typeof ev.data==='string'){const j=JSON.parse(ev.data);
+   if(j.status==='error')$('status').textContent='ws error '+j.code+': '+(j.detail||'');
+   return;}
+  wsInflight--;
+  const dv=new DataView(ev.data),n=dv.getUint32(0);
+  const meta=JSON.parse(new TextDecoder().decode(new Uint8Array(ev.data,4,n)));
+  const img=$('result'),old=img.dataset.bloburl;
+  const url=URL.createObjectURL(new Blob([new Uint8Array(ev.data,4+n)],{type:'image/jpeg'}));
+  img.src=url;img.dataset.bloburl=url;if(old)URL.revokeObjectURL(old);
+  streamN++;const fps=streamN/((Date.now()-streamT0)/1000);
+  $('status').textContent='ws streaming '+fps.toFixed(1)+' fps (frame '+streamN+
+   (meta.keyframe?', keyframe':'')+')';
+  wsFrame();};
+ ws.onerror=()=>{if(ws){$('status').textContent='ws failed — falling back to HTTP';
+  wsStop();streamTick();}};
+ ws.onclose=()=>{if(ws){ws=null;wsInflight=0;}};}
+// live prompt switch mid-stream: TEXT config frame re-freezes the prompt
+// conditioning server-side, keeps the temporal latent
+$('prompt').onchange=()=>{if(ws&&ws.readyState===1)
+ ws.send(JSON.stringify({prompt:$('prompt').value}));};
 $('stream').onchange=e=>{
  if(e.target.checked){streamSid='ui-'+Math.random().toString(36).slice(2);
-  streamN=0;streamT0=Date.now();streamTick();}
- else $('status').textContent='idle';};
+  streamN=0;streamT0=Date.now();
+  if($('wst').checked&&window.WebSocket)wsStart();else streamTick();}
+ else{$('status').textContent='idle';wsStop();}};
 </script></body></html>
 """
 
