@@ -119,6 +119,10 @@ class _Handler(BaseHTTPRequestHandler):
         if "image" not in request:
             self._send(422, {"detail": "field 'image' is required"})
             return
+        # raw_response is the in-process transport flag (ws.py sets it to
+        # skip base64); honoring it from untrusted JSON would burn a full
+        # inference only to 500 serializing the PIL object — strip it here
+        request.pop("raw_response", None)
         try:
             self._send(200, self.engine.edit(request))
         except ModelNotLoaded as e:
@@ -278,6 +282,13 @@ def main(argv=None):
                     help="distilled tiny output decoder "
                     "(training/tiny_vae.py artifact) — decodes latents in "
                     "~1/3 the decode device time (measured 17 vs 55 ms @1024²); implies decoder='tiny'")
+    ap.add_argument("--tiny-encoder",
+                    default=os.environ.get("QIE_TINY_ENCODER"),
+                    help="distilled tiny input encoder "
+                    "(training/tiny_vae.py --encoder artifact) — stream "
+                    "TEMPORAL frames encode through it; keyframes + /edit "
+                    "conditioning keep the full VAE; implies "
+                    "encoder='tiny'")
     # Deployment memory levers (benchmarks/lower_full.py budgets): int8
     # fits the 20B serving loop on a v5e-4, int4 (the NF4 rung) targets a
     # 2-chip slice. Same flag names as lower_full.
@@ -343,6 +354,7 @@ def main(argv=None):
         transformer_path=args.transformer, vae_path=args.vae,
         vl_path=args.vl, lora_path=args.lora,
         tiny_decoder_path=args.tiny_decoder,
+        tiny_encoder_path=args.tiny_encoder,
     )
     engine.queue_requests = os.environ.get("QIE_QUEUE", "") == "1"
     print(f"Ready. Serving on http://{args.host}:{args.port} "

@@ -134,7 +134,10 @@ function wsStart(){
   steps:+$('steps').value,use_cfg:$('cfg').checked,pipeline:true}));wsFrame();};
  ws.onmessage=ev=>{
   if(typeof ev.data==='string'){const j=JSON.parse(ev.data);
-   if(j.status==='error')$('status').textContent='ws error '+j.code+': '+(j.detail||'');
+   if(j.status==='error'){$('status').textContent='ws error '+j.code+': '+(j.detail||'');
+    // frame-level errors (429 busy etc.) consumed an in-flight slot:
+    // release it and retry like streamTick, else the stream stalls at 2
+    if(j.frame&&wsInflight>0){wsInflight--;setTimeout(wsFrame,300);}}
    return;}
   wsInflight--;
   const dv=new DataView(ev.data),n=dv.getUint32(0);

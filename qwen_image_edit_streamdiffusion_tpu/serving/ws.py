@@ -51,6 +51,7 @@ import json
 import os
 import socket
 import struct
+import threading
 import uuid
 from typing import Any, Dict, Optional, Tuple
 
@@ -58,6 +59,17 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY = 0x0, 0x1, 0x2
 OP_CLOSE, OP_PING, OP_PONG = 0x8, 0x9, 0xA
+
+# A declared 64-bit length is honored by _read_exact, so without a cap a
+# misbehaving peer can make the handler thread buffer arbitrary bytes
+# (memory DoS). 32 MB comfortably fits any 1024² image frame; oversized
+# messages close the socket with status 1009 (RFC 6455 §7.4.1).
+MAX_MESSAGE_BYTES = int(os.environ.get("QIE_WS_MAX_MESSAGE",
+                                       str(32 * 1024 * 1024)))
+
+
+class MessageTooBig(ConnectionError):
+    """Peer declared/assembled a message beyond MAX_MESSAGE_BYTES."""
 
 # connection-level option keys a TEXT config frame may set; anything else
 # in the JSON is rejected loudly (a typo like "promt" must not 200-ok)
@@ -105,6 +117,9 @@ def read_frame(rfile) -> Tuple[int, bytes, bool]:
         ln = struct.unpack("!H", _read_exact(rfile, 2))[0]
     elif ln == 127:
         ln = struct.unpack("!Q", _read_exact(rfile, 8))[0]
+    if ln > MAX_MESSAGE_BYTES:
+        raise MessageTooBig(
+            f"frame declares {ln} bytes > cap {MAX_MESSAGE_BYTES}")
     mask = _read_exact(rfile, 4) if masked else None
     payload = _read_exact(rfile, ln) if ln else b""
     if mask:
@@ -133,16 +148,29 @@ def write_frame(wfile, opcode: int, payload: bytes,
     wfile.flush()
 
 
-def read_message(rfile, wfile) -> Tuple[int, bytes]:
+def read_message(rfile, wfile, mask_replies: bool = False,
+                 write_lock: Optional[threading.Lock] = None,
+                 ) -> Tuple[int, bytes]:
     """Next complete data message (OP_TEXT/OP_BINARY, defragmented) or
     OP_CLOSE. Pings are answered inline; pongs are swallowed — callers
-    never see control frames except close."""
+    never see control frames except close.
+
+    ``mask_replies`` must be True when the caller is a CLIENT (RFC 6455
+    §5.3: client frames MUST be masked). ``write_lock`` serializes the
+    inline PONG against a concurrent sender thread in full-duplex use —
+    without it the two writes can interleave and corrupt the byte
+    stream. Messages whose declared or reassembled size exceeds
+    MAX_MESSAGE_BYTES raise :class:`MessageTooBig`."""
     buf = bytearray()
     first_op: Optional[int] = None
     while True:
         opcode, payload, fin = read_frame(rfile)
         if opcode == OP_PING:
-            write_frame(wfile, OP_PONG, payload)
+            if write_lock is not None:
+                with write_lock:
+                    write_frame(wfile, OP_PONG, payload, mask=mask_replies)
+            else:
+                write_frame(wfile, OP_PONG, payload, mask=mask_replies)
             continue
         if opcode == OP_PONG:
             continue
@@ -157,6 +185,9 @@ def read_message(rfile, wfile) -> Tuple[int, bytes]:
             buf += payload
         else:
             raise ConnectionError(f"unsupported websocket opcode {opcode}")
+        if len(buf) > MAX_MESSAGE_BYTES:
+            raise MessageTooBig(
+                f"reassembled message exceeds cap {MAX_MESSAGE_BYTES}")
         if fin:
             return first_op, bytes(buf)
 
@@ -205,7 +236,17 @@ def handle_connection(handler, engine) -> None:
     send_json({"status": "ready", "session": sid})
     try:
         while True:
-            opcode, data = read_message(rfile, wfile)
+            try:
+                opcode, data = read_message(rfile, wfile)
+            except MessageTooBig as e:
+                # RFC 6455 1009 Message Too Big, then drop the socket
+                # (the stream is unframed beyond this point anyway)
+                try:
+                    write_frame(wfile, OP_CLOSE,
+                                struct.pack("!H", 1009) + str(e).encode())
+                except OSError:
+                    pass
+                break
             if opcode == OP_CLOSE:
                 try:
                     write_frame(wfile, OP_CLOSE, data[:2])
@@ -226,11 +267,14 @@ def handle_connection(handler, engine) -> None:
                     send_json({"status": "error", "code": 422,
                                "detail": str(e)})
                 continue
-            # binary frame: one image in, one edited image out
+            # binary frame: one image in, one edited image out.
+            # Frame-level errors carry "frame": true so clients tracking
+            # in-flight image sends (webui wsInflight) can release the
+            # slot — config-ack errors don't consume a frame slot.
             try:
                 img = imaging.bytes_to_pil(data)
             except Exception as e:
-                send_json({"status": "error", "code": 422,
+                send_json({"status": "error", "code": 422, "frame": True,
                            "detail": f"undecodable image frame: {e}"})
                 continue
             request: Dict[str, Any] = {
@@ -256,7 +300,7 @@ def handle_connection(handler, engine) -> None:
                 code = (503 if isinstance(e, ModelNotLoaded)
                         else 429 if isinstance(e, EngineBusy)
                         else 422 if isinstance(e, InvalidRequest) else 500)
-                send_json({"status": "error", "code": code,
+                send_json({"status": "error", "code": code, "frame": True,
                            "detail": str(e)})
                 continue
             out = resp.pop("image")
@@ -288,6 +332,9 @@ class WSClient:
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.rfile = self.sock.makefile("rb")
         self.wfile = self.sock.makefile("wb")
+        # serializes sender-thread writes against recv()'s inline PONG
+        # replies in the documented two-thread full-duplex usage
+        self._wlock = threading.Lock()
         key = base64.b64encode(os.urandom(16)).decode()
         self.wfile.write(
             (f"GET {path} HTTP/1.1\r\n"
@@ -312,8 +359,9 @@ class WSClient:
             raise ConnectionError("bad Sec-WebSocket-Accept")
 
     def send_config(self, **cfg) -> None:
-        write_frame(self.wfile, OP_TEXT, json.dumps(cfg).encode(),
-                    mask=True)
+        with self._wlock:
+            write_frame(self.wfile, OP_TEXT, json.dumps(cfg).encode(),
+                        mask=True)
 
     def send_image(self, img, quality: int = 90) -> None:
         """PIL image or raw encoded bytes → one BINARY frame."""
@@ -321,12 +369,15 @@ class WSClient:
             buf = io.BytesIO()
             img.save(buf, format="JPEG", quality=quality)
             img = buf.getvalue()
-        write_frame(self.wfile, OP_BINARY, bytes(img), mask=True)
+        with self._wlock:
+            write_frame(self.wfile, OP_BINARY, bytes(img), mask=True)
 
     def recv(self):
         """Next message: dict (TEXT), (meta_dict, jpeg_bytes) (BINARY),
         or None (close)."""
-        opcode, data = read_message(self.rfile, self.wfile)
+        opcode, data = read_message(self.rfile, self.wfile,
+                                    mask_replies=True,
+                                    write_lock=self._wlock)
         if opcode == OP_CLOSE:
             return None
         if opcode == OP_TEXT:
@@ -337,7 +388,8 @@ class WSClient:
 
     def close(self) -> None:
         try:
-            write_frame(self.wfile, OP_CLOSE, b"", mask=True)
+            with self._wlock:
+                write_frame(self.wfile, OP_CLOSE, b"", mask=True)
         except OSError:
             pass
         try:
