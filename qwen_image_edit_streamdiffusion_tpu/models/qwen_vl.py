@@ -302,22 +302,31 @@ def _mrope_tables(cfg: VLConfig, pos: np.ndarray) -> Tuple[np.ndarray, np.ndarra
 
 def _lm_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   attn_mask: Optional[jnp.ndarray],
-                  use_flash: bool) -> jnp.ndarray:
+                  use_flash: bool, mesh=None,
+                  interpret: bool = False) -> jnp.ndarray:
     """Causal GQA attention for the decoder: q (1, H, L, D), k/v
     (1, Hkv, L, D) → (1, H, L, D).
 
     TPU path: the Pallas causal flash kernel (block-level causal pruning,
     GQA via kv index maps — VERDICT r2 next #2; the kernel's suffix-padding
-    argument makes attn_mask redundant there). XLA path: grouped-head
-    einsum — K/V are contracted per kv-group without materializing the
-    `jnp.repeat` copies the old path paid.
+    argument makes attn_mask redundant there). Under a TP mesh the kernel
+    runs shard_mapped over local head slices (VERDICT r3 next #2 — a bare
+    pallas_call inside the GSPMD jit would replicate its operands, which
+    is why r3 forced the sharded encoder onto XLA attention). XLA path:
+    grouped-head einsum — K/V are contracted per kv-group without
+    materializing the `jnp.repeat` copies the old path paid.
     """
     _, nh, l, hd = q.shape
     nkv = k.shape[1]
     if use_flash:
+        from qwen_image_edit_streamdiffusion_tpu.ops import attention as att
         from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention as fa
 
-        if fa.supported(q, k, v) and _flash_on_tpu():
+        if (mesh is not None and (_flash_on_tpu() or interpret)
+                and att.causal_tp_supported(q, k, mesh)):
+            return att.sharded_causal_flash_attention(
+                q, k, v, mesh, interpret=interpret)
+        if mesh is None and fa.supported(q, k, v) and _flash_on_tpu():
             return fa.flash_attention(q, k, v, causal=True)
     rep = nh // nkv
     mask2d = jnp.asarray(np.tril(np.ones((l, l), bool)))
@@ -339,6 +348,24 @@ def _flash_on_tpu() -> bool:
         return False
 
 
+def _replicate_out(out: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Pin the encoder's final hidden states to a replicated layout.
+
+    Under TP the LM's activations flow out hidden-dim sharded (the embed
+    table shards its hidden dim); the denoise loop consumes prompt embeds
+    cfg-batch sharded, and without this constraint the SPMD partitioner
+    falls back to an involuntary full rematerialization of every txt
+    operand of the loop graph on EVERY step (MULTICHIP_r03 warning spam —
+    VERDICT r3 next #3). One explicit all-gather here, inside the encode
+    graph, makes the handoff a clean slice."""
+    if mesh is None:
+        return out
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P()))
+
+
 def lm_forward(
     params: Params,
     cfg: VLConfig,
@@ -347,11 +374,16 @@ def lm_forward(
     sin: jnp.ndarray,
     attn_mask: Optional[jnp.ndarray] = None,  # (L,) bool (True = real)
     use_flash: bool = True,
+    mesh=None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Causal decoder over one sequence; returns final hidden states (L, d).
 
     Padding must be a *suffix* (the encoder pads bucketed tails) — the
     flash path relies on causal masking to neutralize padded keys.
+    ``mesh``: active TP mesh — routes attention through the shard_mapped
+    causal flash kernel (head-sharded over `model`) instead of losing the
+    Pallas path under GSPMD.
     """
     d = cfg.hidden_size
     nh = cfg.num_heads
@@ -370,7 +402,8 @@ def lm_forward(
         v = linear(blk["v_proj"], h).reshape(l, nkv, hd).transpose(1, 0, 2)[None]
         q = _apply_rope_half(q, cos_b, sin_b)
         k = _apply_rope_half(k, cos_b, sin_b)
-        o = _lm_attention(q, k, v, attn_mask, use_flash)
+        o = _lm_attention(q, k, v, attn_mask, use_flash, mesh=mesh,
+                          interpret=interpret)
         o = o[0].transpose(1, 0, 2).reshape(l, d)
         x = x + linear(blk["o_proj"], o)
         h2 = rms_norm(blk["post_norm"], x, cfg.rms_eps)
@@ -581,10 +614,13 @@ class QwenVLEncoder:
         # from the tokenized TEMPLATE_PREFIX (equal for the real tokenizer).
         self.drop_idx = drop_idx
         # Pallas causal flash kernel for the decoder (TPU, head_dim % 128
-        # == 0). Forced off when params are TP-sharded over a mesh: a
-        # pallas_call inside a GSPMD jit would replicate its operands and
-        # discard the sharding (same reason ops.attention shard_maps).
+        # == 0). Under a TP mesh (set via `self.mesh`, e.g. by
+        # pipeline._finalize_encoder) the kernel runs shard_mapped over
+        # local head slices when the head counts tile evenly; otherwise
+        # the decoder falls back to XLA grouped-einsum attention.
         self.use_flash = use_flash
+        self.mesh = None  # TP mesh for shard_mapped decoder attention
+        self.interpret = False  # Pallas interpret mode (CPU mesh tests)
         if params is None:
             params = init_jit(jax.random.PRNGKey(seed), cfg)
         self.params = params
@@ -617,10 +653,12 @@ class QwenVLEncoder:
         vision-token splice (static start offsets per template structure),
         and the full LM forward in ONE jitted dispatch per
         (bucket, template) key."""
-        key = ("lm", l, vision_starts, vt_shapes, self.use_flash)
+        key = ("lm", l, vision_starts, vt_shapes, self.use_flash,
+               id(self.mesh))
         if key not in self._jit_cache:
             cfg = self.cfg
             use_flash = self.use_flash
+            mesh, interp = self.mesh, self.interpret
             starts = vision_starts
 
             @jax.jit
@@ -633,8 +671,10 @@ class QwenVLEncoder:
                     emb = jax.lax.dynamic_update_slice(
                         emb, vt.astype(emb.dtype), (s, 0)
                     )
-                return lm_forward(params, cfg, emb, cos, sin, mask,
-                                  use_flash=use_flash)
+                out = lm_forward(params, cfg, emb, cos, sin, mask,
+                                 use_flash=use_flash, mesh=mesh,
+                                 interpret=interp)
+                return _replicate_out(out, mesh)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
@@ -669,10 +709,12 @@ class QwenVLEncoder:
         (per-row ids, M-RoPE tables, masks and vision tokens) in one LM
         dispatch. The decoder at one 128-token row leaves most MXU rows
         idle; batching the wave recovers them."""
-        key = ("lm_b", l, vision_starts, vt_shapes, self.use_flash, b)
+        key = ("lm_b", l, vision_starts, vt_shapes, self.use_flash, b,
+               id(self.mesh))
         if key not in self._jit_cache:
             cfg = self.cfg
             use_flash = self.use_flash
+            mesh, interp = self.mesh, self.interpret
             starts = vision_starts
 
             @jax.jit
@@ -685,9 +727,11 @@ class QwenVLEncoder:
                             emb, vt.astype(emb.dtype), (s, 0)
                         )
                     return lm_forward(params, cfg, emb, cos1, sin1, mask1,
-                                      use_flash=use_flash)
+                                      use_flash=use_flash, mesh=mesh,
+                                      interpret=interp)
 
-                return jax.vmap(one)(ids_arr, cos, sin, mask, *vts)
+                return _replicate_out(
+                    jax.vmap(one)(ids_arr, cos, sin, mask, *vts), mesh)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]

@@ -88,6 +88,53 @@ def sharded_flash_attention(
     return fn(q, k, v, kv_mask)
 
 
+def causal_tp_supported(q: jnp.ndarray, k: jnp.ndarray, mesh) -> bool:
+    """Can the causal GQA kernel run head-sharded on this mesh? Both the
+    q-head and kv-head counts must tile evenly over the `model` axis so
+    each device keeps whole heads and the per-shard GQA group ratio is
+    unchanged (e.g. 7B VL: 28 q / 4 kv heads over model=4 → 7 q + 1 kv
+    head per device)."""
+    if mesh is None or "model" not in mesh.axis_names:
+        return False
+    tp = mesh.shape["model"]
+    return (tp > 1 and q.shape[1] % tp == 0 and k.shape[1] % tp == 0
+            and q.shape[-1] % 128 == 0)
+
+
+def sharded_causal_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal GQA flash attention under tensor parallelism (VERDICT r3
+    next #2: the TP-sharded VL decoder must keep the flash win).
+
+    Same shard_map rationale as :func:`sharded_flash_attention`: a
+    pallas_call inside a GSPMD jit replicates its operands, so the kernel
+    runs per-device on its local head slice — causal attention mixes
+    nothing across heads, zero collectives inside. The VL encoder's
+    activations arrive sharded on the *flat* hidden dim (cfg×model
+    column-parallel q/k/v); GSPMD inserts the head-aligned reshard at the
+    shard_map boundary — (L, hidden) at decoder shapes is ~1-5 MB, noise
+    next to the per-layer attention it buys back."""
+    from jax.sharding import PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.ops import flash_attention as fa
+
+    spec = P(None, "model", None, None)
+    fn = jax.shard_map(
+        lambda q_, k_, v_: fa.flash_attention(
+            q_, k_, v_, causal=True, interpret=interpret),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
 def _tp_active(mesh, q) -> bool:
     return (mesh is not None and "model" in mesh.axis_names
             and mesh.shape["model"] > 1

@@ -68,6 +68,21 @@ def combine_cfg(pos: jnp.ndarray, neg: jnp.ndarray, scale) -> jnp.ndarray:
     return comb.astype(pos.dtype)
 
 
+def rcfg_self_negative(x: jnp.ndarray, anchor: jnp.ndarray, sigma,
+                       out_dtype=None) -> jnp.ndarray:
+    """rcfg-self virtual negative velocity (StreamDiffusion §3.2's virtual
+    residual noise translated to flow matching): the velocity that would
+    reconstruct the unedited condition latents, v_neg = (x_t − z_a)/σ_t,
+    σ floored at 1e-3 (the terminal sigma is ~0 and the quotient must not
+    blow up on the last step). Guidance then pushes away from the input
+    image at cond-only forward cost — the natural stream fit, where the
+    condition IS the current frame. Pinned by verify_parity
+    (cfg.rcfg_self_combined)."""
+    sig = jnp.maximum(sigma, 1e-3)
+    neg = (x.astype(jnp.float32) - anchor.astype(jnp.float32)) / sig
+    return neg.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
 class EditResult(NamedTuple):
     images: List[Image.Image]
     latents: jnp.ndarray  # final normalized latents (B, h, w, z)
@@ -129,6 +144,44 @@ def _init_tiny_decoder(preset: Preset, config: StreamConfig, mesh,
     return params, tcfg
 
 
+def _check_tiny_enc_cfg(ecfg, vae_cfg, path: str) -> None:
+    if (ecfg.latent_channels != vae_cfg.latent_channels
+            or ecfg.spatial_downsample != vae_cfg.spatial_downsample):
+        raise ValueError(
+            f"tiny encoder {path!r} writes a ({ecfg.latent_channels}ch, "
+            f"{ecfg.spatial_downsample}x) latent grid but the preset's VAE "
+            f"uses ({vae_cfg.latent_channels}ch, "
+            f"{vae_cfg.spatial_downsample}x)")
+
+
+def _init_tiny_encoder(preset: Preset, config: StreamConfig, mesh,
+                       path: Optional[str], seed: int):
+    """(params, TinyEncoderConfig) for config.encoder="tiny" — the other
+    half of the TAESD pair (VERDICT r3 next #4): stream TEMPORAL frames
+    encode through it; keyframes and /edit conditioning keep the full
+    VAE. Same load-or-warn policy as the tiny decoder."""
+    if config.encoder != "tiny" and not path:
+        return None
+    from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae
+
+    if path:
+        params, ecfg = tiny_vae.load_encoder(path)
+        _check_tiny_enc_cfg(ecfg, preset.vae, path)
+    else:
+        warnings.warn(
+            "encoder='tiny' without a trained artifact: random-init tiny "
+            "encoder (conditioning latents are noise; distill one with "
+            "training/tiny_vae.py --encoder or pass tiny_encoder_path)")
+        ecfg = tiny_vae.TinyEncoderConfig.from_vae(preset.vae)
+        params = tiny_vae.encoder_init_jit(
+            stream(key_from_seed(seed), "tiny_vae_enc"), ecfg)
+    if mesh is not None:
+        from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+        params = sharding.replicate(params, mesh)
+    return params, ecfg
+
+
 def _finalize_encoder(encoder: PromptEncoder, config: StreamConfig, mesh):
     """Apply the deployment levers to a parameterized (VL) encoder:
     optional weight-only int8/int4 (config.use_int8_vl / use_int4_vl),
@@ -164,10 +217,14 @@ def _finalize_encoder(encoder: PromptEncoder, config: StreamConfig, mesh):
         from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
 
         params = sharding.shard_vl_params(params, mesh)
-        # a pallas_call inside the GSPMD-jitted encode would replicate its
-        # operands; keep the encoder on annotation-driven XLA attention
-        if hasattr(encoder, "use_flash"):
-            encoder.use_flash = False
+        # a bare pallas_call inside the GSPMD-jitted encode would
+        # replicate its operands — hand the encoder the mesh so its
+        # decoder attention runs the causal flash kernel shard_mapped
+        # over local head slices instead (ops.attention
+        # sharded_causal_flash_attention; falls back to XLA grouped
+        # einsum when the head counts don't tile the `model` axis)
+        if hasattr(encoder, "mesh"):
+            encoder.mesh = mesh
     encoder.params = params
     return encoder
 
@@ -191,6 +248,10 @@ class EditPipeline:
     # (params, TinyDecoderConfig) for the TAESD-analog output decoder
     # (models/tiny_vae.py); active when config.decoder == "tiny".
     tiny_vae: Optional[Tuple[Any, Any]] = None
+    # (params, TinyEncoderConfig) for the TAESD-analog input encoder;
+    # active for stream TEMPORAL frames when config.encoder == "tiny"
+    # (keyframes + /edit conditioning always use the full VAE).
+    tiny_encoder: Optional[Tuple[Any, Any]] = None
     _jit_cache: Dict[Any, Any] = field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -206,13 +267,15 @@ class EditPipeline:
         encoder: Optional[PromptEncoder] = None,
         mesh=None,
         tiny_decoder_path: Optional[str] = None,
+        tiny_encoder_path: Optional[str] = None,
     ) -> "EditPipeline":
         """Random-init construction (weights loaded separately via
         models.convert when a checkpoint is available). With a mesh, the
         transformer is tensor-parallel-sharded over the `model` axis and
         cfg_mode="parallel" splits cond/uncond over the `cfg` axis.
         tiny_decoder_path loads a distilled tiny output decoder and
-        implies config.decoder="tiny"."""
+        implies config.decoder="tiny"; tiny_encoder_path likewise implies
+        config.encoder="tiny" (stream temporal frames only)."""
         if isinstance(preset, str):
             preset = get_preset(preset)
         config = config or StreamConfig(model_preset=preset.name)
@@ -239,6 +302,10 @@ class EditPipeline:
                                   seed)
         if tiny is not None and config.decoder != "tiny":
             config = config.replace(decoder="tiny")
+        tiny_enc = _init_tiny_encoder(preset, config, mesh,
+                                      tiny_encoder_path, seed)
+        if tiny_enc is not None and config.encoder != "tiny":
+            config = config.replace(encoder="tiny")
         if encoder is None:
             encoder = _default_encoder(preset, config, seed)
         encoder = _finalize_encoder(encoder, config, mesh)
@@ -250,7 +317,8 @@ class EditPipeline:
         return cls(preset=preset, config=config, tfm_params=tfm_params,
                    vae_params=vae_params, encoder=encoder, mesh=mesh,
                    prompt_cache=PromptCache(encoder),
-                   latent_cache=LatentCache(), tiny_vae=tiny)
+                   latent_cache=LatentCache(), tiny_vae=tiny,
+                   tiny_encoder=tiny_enc)
 
     @classmethod
     def from_checkpoint(
@@ -263,6 +331,7 @@ class EditPipeline:
         lora_path: Optional[str] = None,
         mesh=None,
         tiny_decoder_path: Optional[str] = None,
+        tiny_encoder_path: Optional[str] = None,
     ) -> "EditPipeline":
         """Construct from orbax checkpoints produced by
         models.checkpoint (LoRA fused → optional int8/int4 → optional TP
@@ -458,6 +527,10 @@ class EditPipeline:
                                   seed=0)
         if tiny is not None and config.decoder != "tiny":
             config = config.replace(decoder="tiny")
+        tiny_enc = _init_tiny_encoder(preset, config, mesh,
+                                      tiny_encoder_path, seed=0)
+        if tiny_enc is not None and config.encoder != "tiny":
+            config = config.replace(encoder="tiny")
         from qwen_image_edit_streamdiffusion_tpu.pipeline.cache import (
             LatentCache,
             PromptCache,
@@ -466,13 +539,15 @@ class EditPipeline:
         return cls(preset=preset, config=config, tfm_params=tfm_params,
                    vae_params=vae_params, encoder=encoder, mesh=mesh,
                    prompt_cache=PromptCache(encoder),
-                   latent_cache=LatentCache(), tiny_vae=tiny)
+                   latent_cache=LatentCache(), tiny_vae=tiny,
+                   tiny_encoder=tiny_enc)
 
     # ------------------------------------------------------------------
     # Jitted stages (cached per static key)
     # ------------------------------------------------------------------
 
-    def _vae_encode_fn(self, hw: Tuple[int, int], in_fmt: str = "rgb"):
+    def _vae_encode_fn(self, hw: Tuple[int, int], in_fmt: str = "rgb",
+                       kind: str = "full"):
         """uint8 image → packed condition tokens, one jit: on-device
         normalization (¼ the host→device bytes of f32), VAE encode, 2×2
         packing, model-dtype cast — a single dispatch on the wire.
@@ -480,13 +555,30 @@ class EditPipeline:
         in_fmt="rgb" takes uint8 (B, H, W, 3); in_fmt="yuv420" takes the
         packed 4:2:0 buffer from :func:`ops.colorspace.pack_yuv420_host`
         (half the host→device bytes — the upload twin of the decode-side
-        transfer format) and converts to RGB on-device."""
-        key = ("vae_encode", hw, in_fmt)
+        transfer format) and converts to RGB on-device.
+
+        kind="tiny" routes pixels through the TAESD-analog tiny encoder
+        (``params`` must then be :attr:`tiny_encoder`'s tree — the stream
+        passes :meth:`_encode_params_for`); /edit conditioning and stream
+        keyframes stay on the exact full-VAE path."""
+        key = ("vae_encode", hw, in_fmt, kind)
         if key not in self._jit_cache:
             cfg = self.preset.vae
             mdt = jnp.dtype(self.preset.model.dtype)
 
             vdt = jnp.dtype(cfg.dtype)
+            if kind == "tiny":
+                from qwen_image_edit_streamdiffusion_tpu.models import (
+                    tiny_vae,
+                )
+
+                ecfg = self.tiny_encoder[1]
+
+                def _to_latents(params, img):
+                    return tiny_vae.encode(params, ecfg, img)
+            else:
+                def _to_latents(params, img):
+                    return vae_mod.encode(params, cfg, img.astype(vdt))
 
             @jax.jit
             def run(params, img_u8):
@@ -494,12 +586,36 @@ class EditPipeline:
                     x32 = colorspace.yuv420_to_rgb(img_u8)
                 else:
                     x32 = img_u8.astype(jnp.float32)
-                img = (x32 / 127.5 - 1.0).astype(vdt)
-                z = vae_mod.encode(params, cfg, img)
+                img = x32 / 127.5 - 1.0
+                z = _to_latents(params, img)
                 return tfm.pack_latents(z.astype(jnp.float32)).astype(mdt)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _encode_params_for(self, stream_kind: str):
+        """Param tree for a stream frame's encode stage: the tiny
+        encoder's on temporal frames when active, the full VAE's
+        otherwise (keyframes re-anchor conditioning at exact quality)."""
+        if (stream_kind == "temporal" and self.config.encoder == "tiny"
+                and self.tiny_encoder is not None):
+            return self.tiny_encoder[0]
+        return self.vae_params
+
+    def load_tiny_encoder(self, path: str) -> None:
+        """Load a distilled tiny encoder (training/tiny_vae.py --encoder
+        artifact) and switch stream temporal-frame encoding to it
+        (config.encoder="tiny")."""
+        from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae
+
+        params, ecfg = tiny_vae.load_encoder(path)
+        _check_tiny_enc_cfg(ecfg, self.preset.vae, path)
+        if self.mesh is not None:
+            from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+            params = sharding.replicate(params, self.mesh)
+        self.tiny_encoder = (params, ecfg)
+        self.config = self.config.replace(encoder="tiny")
 
     @property
     def _decode_params(self):
@@ -764,9 +880,8 @@ class EditPipeline:
 
                 def body(i, x):
                     pos = pos_call(i, x)
-                    sig = jnp.maximum(sigmas[i], 1e-3)
-                    neg = ((x.astype(jnp.float32) - anchor) / sig).astype(
-                        pos.dtype)
+                    neg = rcfg_self_negative(x, anchor, sigmas[i],
+                                             pos.dtype)
                     v = combine_cfg(pos, neg, cfg_scale)
                     return sched.euler_step(x, v, sigmas[i], sigmas[i + 1])
 
