@@ -58,7 +58,10 @@ Flags:
               --tiny-decoder swaps the output stage for the TAESD
               analog (models/tiny_vae.py): 14.28 GB/chip, near-identical
               budget — decode temps were never the stream peak; the
-              tiny decoder buys device TIME, not memory.
+              tiny decoder buys device TIME, not memory. --tiny-encoder
+              swaps the temporal frames' ENCODE stage for the TAESD
+              pair's other half; --int8 AOTs the quantized stream rung
+              (the fallback for the thin bf16 headroom, DEPLOY.md §1).
   --v5e-4     target a 4-chip topology instead of 8.
   --train     AOT the FULL 20B LoRA fine-tune step (value_and_grad through
               all 60 blocks + Adam, per-block remat with in-remat adapter
@@ -375,7 +378,8 @@ def lower_serving_loop(mesh, is_tpu: bool, bits: int = 0,
     return result
 
 
-def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
+def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False,
+                 bits: int = 0, tiny_encoder: bool = False):
     """AOT the realtime stream's fused TEMPORAL frame graph — VAE encode →
     re-noise → tail denoise → VAE decode in ONE executable — for the 20B
     preset at 1024², TP + batched-CFG on the topology.
@@ -385,7 +389,11 @@ def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
     4-way here, and the whole frame is one dispatch. Proves the realtime
     product (not just /edit) deploys at full scale. tiny_decoder=True
     swaps the output stage for the TAESD-analog (models/tiny_vae.py) —
-    the encode side still runs the full VAE."""
+    the encode side still runs the full VAE unless tiny_encoder=True
+    (the TAESD pair's other half: temporal frames encode through
+    models/tiny_vae.TinyEncoderConfig). bits=8/4 AOTs the quantized
+    transformer rung — the documented fallback when the bf16 stream's
+    headroom proves too thin on real hardware (DEPLOY.md §1)."""
     from qwen_image_edit_streamdiffusion_tpu.core.config import StreamConfig
     from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae as tv
     from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
@@ -404,11 +412,15 @@ def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
                           width=1024, height=1024,
                           use_flash_attention=is_tpu, fuse_qkv=False,
                           transfer_format="yuv420",
-                          decoder="tiny" if tiny_decoder else "full")
+                          use_int8=(bits == 8), use_int4=(bits == 4),
+                          decoder="tiny" if tiny_decoder else "full",
+                          encoder="tiny" if tiny_encoder else "full")
     tcfg = tv.TinyDecoderConfig.from_vae(preset.vae)
+    ecfg = tv.TinyEncoderConfig.from_vae(preset.vae)
     pipe = EditPipeline(preset=preset, config=config, tfm_params=None,
                         vae_params=None, encoder=None, mesh=mesh,
-                        tiny_vae=(None, tcfg) if tiny_decoder else None)
+                        tiny_vae=(None, tcfg) if tiny_decoder else None,
+                        tiny_encoder=(None, ecfg) if tiny_encoder else None)
     rt = RealtimePipeline(pipe=pipe)
 
     zh = zw = 128  # 1024² → 128² latents → 64² patches
@@ -420,6 +432,13 @@ def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
     )
 
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    if bits:
+        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+            quantize_transformer,
+        )
+
+        shapes = jax.eval_shape(
+            lambda p: quantize_transformer(p, bits=bits), shapes)
     specs = sharding.transformer_param_specs(shapes)
     tfm_abs = jax.tree_util.tree_map(
         lambda s, p: jax.ShapeDtypeStruct(
@@ -442,9 +461,17 @@ def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
         )
     else:
         dec_abs = vae_abs
+    if tiny_encoder:
+        enc_abs = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
+            jax.eval_shape(lambda: tv.encoder_init(jax.random.PRNGKey(3),
+                                                   ecfg)),
+        )
+    else:
+        enc_abs = vae_abs
     key_dtype = jax.eval_shape(lambda: jax.random.PRNGKey(0)).dtype
     args = (
-        tfm_abs, vae_abs, dec_abs,
+        tfm_abs, enc_abs, dec_abs,
         abs_((1, 512, 512, 6), jnp.uint8),              # yuv420 frame
         abs_((1, zh, zw, preset.vae.latent_channels), jnp.float32),  # prev
         abs_((2,) if key_dtype == jnp.uint32 else (), key_dtype),    # rng
@@ -458,8 +485,11 @@ def lower_stream(mesh, is_tpu: bool, tiny_decoder: bool = False):
     t0 = time.time()
     compiled = fn.lower(*args).compile()
     dec_kind = "tiny decoder" if tiny_decoder else "full decoder"
+    if tiny_encoder:
+        dec_kind = "tiny encoder, " + dec_kind
+    rung = f"int{bits} " if bits else ""
     print(f"fused temporal stream frame (1024², tail {steps // 2} of "
-          f"{steps} steps, batched CFG, {dec_kind}) compiled in "
+          f"{steps} steps, batched CFG, {rung}{dec_kind}) compiled in "
           f"{time.time() - t0:.1f}s")
     mem = compiled.memory_analysis()
     if prior_conv_env is None:
@@ -596,7 +626,7 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
          stream: bool = False, cfg_mode: str | None = None,
          rows: int = 1, train: bool = False, rank: int = 16,
          distill: bool = False, guided: bool = False,
-         tiny_decoder: bool = False):
+         tiny_decoder: bool = False, tiny_encoder: bool = False):
     from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
 
     compile_cache.honor_platform_env()
@@ -617,7 +647,8 @@ def main(n_devices: int = 8, loop: bool = False, bits: int = 0,
         return lower_train(mesh, is_tpu, rows=max(rows, 2), rank=rank,
                            distill=distill, guided=guided)
     if stream:
-        return lower_stream(mesh, is_tpu, tiny_decoder=tiny_decoder)
+        return lower_stream(mesh, is_tpu, tiny_decoder=tiny_decoder,
+                            bits=bits, tiny_encoder=tiny_encoder)
     if vl and not loop:
         lower_vl(mesh, is_tpu, vl_bits=vl_bits)
         return
@@ -735,6 +766,7 @@ if __name__ == "__main__":
          vl_bits=vl_bits,
          stream="--stream" in sys.argv,
          tiny_decoder="--tiny-decoder" in sys.argv,
+         tiny_encoder="--tiny-encoder" in sys.argv,
          cfg_mode=cfg_mode,
          rows=rows,
          train="--train" in sys.argv,

@@ -249,6 +249,17 @@ class StreamConfig:
     #            the output stage is approximated.
     decoder: str = "full"
 
+    # Pixel→latent encoder for the STREAM's temporal frames:
+    #   "full" — the exact VAE encoder (always used by /edit conditioning
+    #            and by stream KEYFRAMES, which re-anchor at full quality).
+    #   "tiny" — the TAESD-analog tiny encoder (models/tiny_vae.py
+    #            TinyEncoderConfig): temporal refine frames encode the
+    #            live camera frame through it (~10 of ~51 ms @512² frame
+    #            budget runs the full VAE encode today). Serve a DISTILLED
+    #            artifact (training/tiny_vae.py --encoder,
+    #            server --tiny-encoder PATH); random-init output is noise.
+    encoder: str = "full"
+
     # Optimization flags
     use_flash_attention: bool = True  # Pallas flash attention (TPU only)
     use_int8: bool = False  # fused int8 quantize+GEMM+dequant weights

@@ -148,6 +148,97 @@ init_jit = jax.jit(init, static_argnums=1)
 
 
 # ---------------------------------------------------------------------------
+# Tiny ENCODER — the other half of the TAESD pair (VERDICT r3 next #4).
+#
+# The stream's fused temporal frame graph runs the FULL VAE encode on
+# every frame (~10 of ~51 ms device budget @512²); TAESD is an
+# encoder+decoder pair, and the same distillation recipe transfers:
+# target = full `vae.encode` posterior mode (the conditioning path's
+# deterministic domain). Architecture mirrors the decoder reversed —
+# conv_in → [blocks → stride-2 conv] × log2(downsample) → blocks →
+# conv_out — one uniform `width`, XLA-fused relu→conv chains, stride-2
+# convs instead of nearest-upsample+conv.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyEncoderConfig:
+    """Architecture of the tiny encoder. ``spatial_downsample`` must match
+    the paired VAE's (the latent grid it writes)."""
+
+    latent_channels: int = 16
+    width: int = 64
+    blocks_per_stage: int = 2
+    spatial_downsample: int = 8
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def from_vae(cls, vae_cfg: VAEConfig, width: int = 64,
+                 blocks_per_stage: int = 2,
+                 dtype: str | None = None) -> "TinyEncoderConfig":
+        return cls(latent_channels=vae_cfg.latent_channels, width=width,
+                   blocks_per_stage=blocks_per_stage,
+                   spatial_downsample=vae_cfg.spatial_downsample,
+                   dtype=dtype or vae_cfg.dtype)
+
+    @property
+    def num_downsamples(self) -> int:
+        n = self.spatial_downsample.bit_length() - 1
+        if 1 << n != self.spatial_downsample:
+            raise ValueError(
+                f"spatial_downsample must be a power of 2, got "
+                f"{self.spatial_downsample}")
+        return n
+
+
+def encoder_init(key: jax.Array, cfg: TinyEncoderConfig) -> Params:
+    dtype = jnp.dtype(cfg.dtype)
+    w = cfg.width
+    keys = iter(split_keys(key, 64))
+    stages = []
+    for i in range(cfg.num_downsamples + 1):
+        stage: Params = {}
+        stage["blocks"] = [
+            _block_init(next(keys), w, dtype)
+            for _ in range(cfg.blocks_per_stage)
+        ]
+        if i < cfg.num_downsamples:
+            stage["down"] = conv2d_init(next(keys), w, w, 3, dtype)
+        stages.append(stage)
+    return {
+        "conv_in": conv2d_init(next(keys), 3, w, 3, dtype),
+        "stages": stages,
+        "conv_out": conv2d_init(next(keys), w, cfg.latent_channels, 3,
+                                dtype),
+    }
+
+
+def encode(params: Params, cfg: TinyEncoderConfig,
+           images: jnp.ndarray) -> jnp.ndarray:
+    """Images NHWC in [-1, 1] → NORMALIZED latents (B, h, w, z).
+
+    Drop-in for the deterministic :func:`models.vae.encode` (posterior
+    mode, normalized domain — what the denoise loop conditions on); the
+    per-channel normalization affine is learnable by the last conv, so
+    the tiny path skips `vae._normalize` exactly as the decoder skips
+    `_denormalize`. use_pallas=False: same XLA-fuses-the-chain argument
+    as :func:`decode` (no norms between convs).
+    """
+    x = conv2d(params["conv_in"], images.astype(jnp.dtype(cfg.dtype)),
+               use_pallas=False)
+    for stage in params["stages"]:
+        for blk in stage["blocks"]:
+            x = _block(blk, x)
+        if "down" in stage:
+            x = conv2d(stage["down"], jax.nn.relu(x), stride=2,
+                       use_pallas=False)
+    return conv2d(params["conv_out"], jax.nn.relu(x), use_pallas=False)
+
+
+encoder_init_jit = jax.jit(encoder_init, static_argnums=1)
+
+
+# ---------------------------------------------------------------------------
 # Artifact format: flat safetensors, nested keys joined with "/"
 # ---------------------------------------------------------------------------
 
@@ -179,10 +270,8 @@ def save(path: str, params: Params) -> None:
         np.savez(path, **flat)
 
 
-def load(path: str) -> Tuple[Params, TinyDecoderConfig]:
-    """Read a saved decoder; the config is inferred from tensor shapes
-    (conv_in carries latent_channels/width/dtype; the stage list carries
-    depth), so artifacts are self-describing."""
+def _load_tree(path: str) -> Tuple[Params, Dict[str, Any]]:
+    """Flat safetensors/npz file → nested param tree (+ the flat dict)."""
     import numpy as np
 
     if path.endswith(".npz"):
@@ -212,7 +301,14 @@ def load(path: str) -> Tuple[Params, TinyDecoderConfig]:
         if isinstance(node, list):
             raise ValueError(f"malformed tiny-decoder key {key!r}")
         node[leaf] = jnp.asarray(arr)
+    return params, flat
 
+
+def load(path: str) -> Tuple[Params, TinyDecoderConfig]:
+    """Read a saved decoder; the config is inferred from tensor shapes
+    (conv_in carries latent_channels/width/dtype; the stage list carries
+    depth), so artifacts are self-describing."""
+    params, _ = _load_tree(path)
     w_in = params["conv_in"]["w"]
     stages = params["stages"]
     cfg = TinyDecoderConfig(
@@ -220,6 +316,28 @@ def load(path: str) -> Tuple[Params, TinyDecoderConfig]:
         width=int(w_in.shape[3]),
         blocks_per_stage=len(stages[0]["blocks"]),
         spatial_upsample=1 << sum(1 for s in stages if "up" in s),
+        dtype=str(w_in.dtype),
+    )
+    return params, cfg
+
+
+def load_encoder(path: str) -> Tuple[Params, TinyEncoderConfig]:
+    """Read a saved tiny encoder (same flat format as :func:`save`; the
+    config is inferred from shapes — conv_in is (3,3,3,width) here where
+    the decoder's is (3,3,z,width), so the artifacts are distinguishable
+    and a decoder file fed here fails the RGB-input check loudly)."""
+    params, _ = _load_tree(path)
+    w_in = params["conv_in"]["w"]
+    if int(w_in.shape[2]) != 3:
+        raise ValueError(
+            f"{path!r} is not a tiny ENCODER artifact: conv_in reads "
+            f"{int(w_in.shape[2])} channels, expected 3 (RGB)")
+    stages = params["stages"]
+    cfg = TinyEncoderConfig(
+        latent_channels=int(params["conv_out"]["w"].shape[3]),
+        width=int(w_in.shape[3]),
+        blocks_per_stage=len(stages[0]["blocks"]),
+        spatial_downsample=1 << sum(1 for s in stages if "down" in s),
         dtype=str(w_in.dtype),
     )
     return params, cfg

@@ -220,12 +220,17 @@ class RealtimePipeline:
         p = self.pipe
         fmt = self.config.transfer_format  # both upload and fetch direction
         dk = p.config.decoder if p.tiny_vae is not None else "full"
+        # temporal frames may encode through the tiny encoder (TAESD is a
+        # PAIR); keyframes always re-anchor through the exact full VAE
+        ek = ("tiny" if (kind == "temporal" and p.config.encoder == "tiny"
+                         and p.tiny_encoder is not None) else "full")
         key = ("stream_fused", kind, hw_in, zh, zw, tuple(cond_shapes),
-               txt_len, steps, start, use_cfg, fmt, prev_pool, dk)
+               txt_len, steps, start, use_cfg, fmt, prev_pool, dk, ek)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
-        enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb")
+        enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb",
+                               kind=ek)
         dec = p._vae_decode_fn((zh, zw))
         img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
         # CFG inside the fused graph is batched (a parallel-CFG bucket
@@ -265,9 +270,11 @@ class RealtimePipeline:
         make_x0 = make_x0_key if kind == "key" else make_x0_temporal
 
         @jax.jit
-        def fused(tfm_p, vae_p, dec_p, frame_u8, prev, rng, ns, txt, mask,
+        def fused(tfm_p, enc_p, dec_p, frame_u8, prev, rng, ns, txt, mask,
                   neg_txt, neg_mask, cfg_scale):
-            cond = enc(vae_p, frame_u8)  # encode always runs the full VAE
+            # enc_p: full VAE tree, or the tiny encoder's on temporal
+            # frames when config.encoder == "tiny" (_encode_params_for)
+            cond = enc(enc_p, frame_u8)
             x0 = make_x0(rng, prev, ns)
             final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
                         cfg_scale)
@@ -299,12 +306,16 @@ class RealtimePipeline:
         p = self.pipe
         fmt = self.config.transfer_format
         dk = p.config.decoder if p.tiny_vae is not None else "full"
+        ek = ("tiny" if (kind == "temporal" and p.config.encoder == "tiny"
+                         and p.tiny_encoder is not None) else "full")
         key = ("stream_fused_rows", rows, kind, hw_in, zh, zw,
-               tuple(cond_shapes), txt_len, steps, start, use_cfg, fmt, dk)
+               tuple(cond_shapes), txt_len, steps, start, use_cfg, fmt, dk,
+               ek)
         if key in p._jit_cache:
             return p._jit_cache[key]
 
-        enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb")
+        enc = p._vae_encode_fn(hw_in, "yuv420" if fmt == "yuv420" else "rgb",
+                               kind=ek)
         dec = p._vae_decode_fn((zh, zw))
         img_shapes = tuple([(1, zh // 2, zw // 2)] + list(cond_shapes))
         if use_cfg:
@@ -341,9 +352,9 @@ class RealtimePipeline:
         make_x0 = make_x0_key if kind == "key" else make_x0_temporal
 
         @jax.jit
-        def fused(tfm_p, vae_p, dec_p, frames_u8, prev, keys, ns, txt, mask,
+        def fused(tfm_p, enc_p, dec_p, frames_u8, prev, keys, ns, txt, mask,
                   neg_txt, neg_mask, cfg_scale):
-            cond = enc(vae_p, frames_u8)  # encode always runs the full VAE
+            cond = enc(enc_p, frames_u8)  # full VAE, or tiny on temporal
             x0 = make_x0(keys, prev, ns)
             final = run(tfm_p, x0, cond, txt, mask, neg_txt, neg_mask,
                         cfg_scale)
@@ -467,7 +478,8 @@ class RealtimePipeline:
             prev = jnp.zeros((1, zh, zw, p.preset.vae.latent_channels),
                              jnp.float32)
         pixels, latents = fn(
-            p.tfm_params, p.vae_params, p._decode_params, frame_u8, prev, key,
+            p.tfm_params, p._encode_params_for(kind), p._decode_params,
+            frame_u8, prev, key,
             jnp.float32(cfgc.noise_strength), txt, mask, neg_txt, neg_mask,
             jnp.float32(cfgc.true_cfg_scale),
         )
@@ -825,7 +837,8 @@ def submit_frames_batched(sessions: List[RealtimePipeline],
     fn = lead._fused_frames_fn(len(sessions), kind, cond_hw, zh, zw,
                                cond_shapes, txt_len, steps, start, use_cfg)
     pixels, latents = fn(
-        p.tfm_params, p.vae_params, p._decode_params, frames_u8, prev, keys,
+        p.tfm_params, p._encode_params_for(kind), p._decode_params,
+        frames_u8, prev, keys,
         jnp.float32(c0.noise_strength), txt, mask, neg_txt, neg_mask,
         jnp.float32(c0.true_cfg_scale),
     )

@@ -143,3 +143,107 @@ def test_latent_grid_mismatch_raises():
     bad = dataclasses.replace(TCFG, latent_channels=4)
     with pytest.raises(ValueError, match="latent grid"):
         _check_tiny_cfg(bad, pipe.preset.vae, "x")
+
+
+# ---------------------------------------------------------------------------
+# Tiny ENCODER — the other half of the TAESD pair (VERDICT r3 next #4)
+# ---------------------------------------------------------------------------
+
+ECFG = tv.TinyEncoderConfig(latent_channels=16, width=8,
+                            blocks_per_stage=2, spatial_downsample=8,
+                            dtype="float32")
+
+
+def test_encode_shape():
+    params = tv.encoder_init(jax.random.PRNGKey(0), ECFG)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3),
+                             minval=-1.0, maxval=1.0)
+    z = jax.jit(lambda p, x: tv.encode(p, ECFG, x))(params, img)
+    assert z.shape == (2, 8, 8, 16)  # 8× spatial downsample
+    assert bool(jnp.all(jnp.isfinite(z)))
+
+
+def test_encoder_save_load_roundtrip(tmp_path):
+    params = tv.encoder_init(jax.random.PRNGKey(0), dataclasses.replace(
+        ECFG, dtype="bfloat16"))
+    path = str(tmp_path / "enc.safetensors")
+    tv.save(path, params)
+    loaded, cfg = tv.load_encoder(path)
+    assert cfg == dataclasses.replace(ECFG, dtype="bfloat16")
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_encoder_rejects_decoder_artifact(tmp_path):
+    """A decoder file fed to load_encoder fails loudly (conv_in reads z
+    channels, not RGB) — artifacts are self-describing."""
+    path = str(tmp_path / "dec.safetensors")
+    tv.save(path, tv.init(jax.random.PRNGKey(0), TCFG))
+    with pytest.raises(ValueError, match="not a tiny ENCODER"):
+        tv.load_encoder(path)
+
+
+def test_encoder_distill_improves_serving_psnr():
+    """Core mechanism: latent-domain distillation raises the serving-view
+    PSNR (both latent sets decoded through the SAME full decoder)."""
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    trainer = tvt.TinyEncoderTrainer.from_pipeline(
+        pipe, tvt.TinyVAETrainConfig(width=8, learning_rate=3e-3))
+    batch = tvt.build_encoder_batch(pipe, tvt._synthetic_images(64, 4))
+    before = trainer.eval_psnr(batch)
+    losses = [trainer.step(batch) for _ in range(30)]
+    after = trainer.eval_psnr(batch)
+    assert losses[-1] < losses[0]
+    assert after > before + 1.0, (before, after)
+
+
+def test_stream_temporal_frames_use_tiny_encoder(tmp_path):
+    """encoder="tiny": keyframes re-anchor through the exact full VAE
+    (bit-equal to a full-encoder stream), temporal frames route through
+    the tiny encoder (output differs); the artifact round-trips through
+    create(tiny_encoder_path=...) — the server's --tiny-encoder flag."""
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+
+    pipe_full = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    trainer = tvt.TinyEncoderTrainer.from_pipeline(
+        pipe_full, tvt.TinyVAETrainConfig(width=8))
+    trainer.step(tvt.build_encoder_batch(pipe_full,
+                                         tvt._synthetic_images(64, 2)))
+    path = str(tmp_path / "enc.safetensors")
+    trainer.save(path, dtype="float32")
+
+    pipe_tiny = EditPipeline.create("tiny", config=_stream_cfg(), seed=0,
+                                    tiny_encoder_path=path)
+    assert pipe_tiny.config.encoder == "tiny"
+    assert pipe_tiny.tiny_encoder[1].width == 8
+
+    img = imaging.make_test_image(64, 64, "gradient")
+    rp_full = RealtimePipeline(pipe_full)
+    rp_full.precompute_conditions("stream")
+    rp_tiny = RealtimePipeline(pipe_tiny)
+    rp_tiny.precompute_conditions("stream")
+
+    kf_full = np.asarray(rp_full.process_frame(img))
+    kf_tiny = np.asarray(rp_tiny.process_frame(img))
+    np.testing.assert_array_equal(kf_full, kf_tiny)  # keyframe = full VAE
+
+    tf_full = np.asarray(rp_full.process_frame(img))
+    tf_tiny = np.asarray(rp_tiny.process_frame(img))
+    assert tf_full.shape == tf_tiny.shape
+    assert np.any(tf_full != tf_tiny)  # temporal frame took the tiny path
+    # the /edit conditioning path never touches the tiny encoder
+    assert ("vae_encode", (64, 64), "rgb", "tiny") in pipe_tiny._jit_cache
+
+
+def test_encoder_latent_grid_mismatch_raises():
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        _check_tiny_enc_cfg,
+    )
+
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    bad = dataclasses.replace(ECFG, latent_channels=4)
+    with pytest.raises(ValueError, match="latent grid"):
+        _check_tiny_enc_cfg(bad, pipe.preset.vae, "x")
