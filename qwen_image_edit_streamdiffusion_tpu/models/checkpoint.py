@@ -49,8 +49,16 @@ def load(path: str, like: Optional[Any] = None, shardings: Optional[Any] = None)
             like, shardings,
         )
     else:
+        # Explicit single-device placement: without ANY sharding orbax
+        # falls back to the sharding file and warns on every restore
+        # ("unsafe when restoring on a different topology") — and the
+        # single-host callers of this path genuinely want local placement,
+        # not whatever topology the checkpoint was written on.
+        dev = jax.local_devices()[0]
+        one = jax.sharding.SingleDeviceSharding(dev)
         target = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=one),
+            like,
         )
     return ckptr.restore(path, target)
 

@@ -130,7 +130,7 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         kern,
         grid=(h // th, wid // tw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded image in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # padded image in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         ],

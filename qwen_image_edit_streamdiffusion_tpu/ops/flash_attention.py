@@ -984,8 +984,8 @@ def flash_attention(
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
             pl.BlockSpec((b, lk_p), lambda bh, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
