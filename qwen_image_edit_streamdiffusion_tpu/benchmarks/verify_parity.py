@@ -48,8 +48,11 @@ GOLDEN_KEYS = (
     "transformer.velocity",
     "transformer.rope_img_cos",
     "cfg.combined",
+    "cfg.rcfg_self_combined",
+    "lora.fused_velocity",
     "vae.moments",
     "vae.decoded",
+    "tiny_vae.decoded",
     "vl.vision_tokens",
     "vl.hidden",
     "vl.chat_ids",
@@ -132,10 +135,48 @@ def compute_activations(
         v = tfm.forward(params, mcfg, x, txt, t, ropes, use_flash=False)
         out["transformer.velocity"] = np.asarray(v, np.float32)
 
+        # LoRA fuse ROUND-TRIP (round-3 surface, VERDICT r3 next #7):
+        # train-side adapters → export_lora_state_dict (diffusers layout)
+        # → fuse_lora → forward. Pins the a/b transpose conventions, the
+        # alpha/rank scale, and the block module-name map in one number.
+        from qwen_image_edit_streamdiffusion_tpu.models.lora import (
+            fuse_lora,
+        )
+        from qwen_image_edit_streamdiffusion_tpu.training import (
+            lora_train as lt,
+        )
+
+        lcfg = lt.TrainConfig(rank=2, alpha=4.0, seed=0)
+        lora = lt.init_lora(params, lcfg, stream(key, "lora"))
+        # LoRA-B initializes to zero (standard) — fill every adapter leaf
+        # with seeded values so the fused delta actually bites
+        leaves, treedef = jax.tree_util.tree_flatten(lora)
+        lrng = _rng(11)
+        leaves = [
+            jnp.asarray(lrng.standard_normal(l.shape) * 0.02, l.dtype)
+            for l in leaves
+        ]
+        lora = jax.tree_util.tree_unflatten(treedef, leaves)
+        fused = fuse_lora(params, lt.export_lora_state_dict(lora, lcfg))
+        v_f = tfm.forward(fused, mcfg, x, txt, t, ropes, use_flash=False)
+        out["lora.fused_velocity"] = np.asarray(v_f, np.float32)
+
     # norm-rescaled CFG combine
     pos = jnp.asarray(_rng(4).standard_normal((1, 8, 4)), jnp.float32)
     neg = jnp.asarray(_rng(5).standard_normal((1, 8, 4)), jnp.float32)
     out["cfg.combined"] = np.asarray(combine_cfg(pos, neg, 4.0))
+
+    # rcfg-self virtual-negative combine (round-3 surface): pins the
+    # (x − anchor)/σ translation, the σ floor, and the downstream
+    # norm-rescaled combine together.
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline import (
+        rcfg_self_negative,
+    )
+
+    xs = jnp.asarray(_rng(9).standard_normal((1, 8, 4)), jnp.float32)
+    anchor = jnp.asarray(_rng(10).standard_normal((1, 8, 4)), jnp.float32)
+    vneg = rcfg_self_negative(xs, anchor, jnp.asarray(0.7, jnp.float32))
+    out["cfg.rcfg_self_combined"] = np.asarray(combine_cfg(pos, vneg, 4.0))
 
     # VAE encode moments + decode
     if want is None or "vae" in want:
@@ -156,6 +197,18 @@ def compute_activations(
         ).astype(jnp.dtype(vcfg.dtype))
         out["vae.decoded"] = np.asarray(
             vae_mod.decode(vparams, vcfg, zlat), np.float32
+        )
+
+        # tiny decoder (round-3 surface): same latent contract as
+        # vae.decode — pins the TAESD-analog's stage/upsample layout
+        from qwen_image_edit_streamdiffusion_tpu.models import (
+            tiny_vae as tv,
+        )
+
+        tdcfg = tv.TinyDecoderConfig.from_vae(vcfg)
+        tparams = tv.init(stream(key, "tiny_vae"), tdcfg)
+        out["tiny_vae.decoded"] = np.asarray(
+            tv.decode(tparams, tdcfg, zlat), np.float32
         )
 
     # VL: vision tower + LM hidden states + chat template ids
@@ -233,6 +286,13 @@ def _load_hf_params(args, preset):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even where a sitecustomize pre-registered an
+    # ambient accelerator plugin (same as every other CLI entry point) —
+    # goldens are CPU-deterministic work and must not touch a tunnel
+    from qwen_image_edit_streamdiffusion_tpu.runtime import compile_cache
+
+    compile_cache.honor_platform_env()
+
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("generate")
@@ -289,8 +349,10 @@ def main(argv=None):
     acts = compute_activations(args.preset, params_override=loaded,
                                components=set(loaded), tokenizer=tokenizer)
     want = dict(np.load(args.goldens))
+    # tiny_vae is excluded from hf mode: the reference has no TAESD
+    # analog to capture from (it's pinned by the tiny-preset goldens only)
     prefixes = {"transformer": ("transformer.", "pack.", "scheduler.",
-                                "cfg."),
+                                "cfg.", "lora."),
                 "vae": ("vae.",), "vl": ("vl.",)}
     keys = [k for k in GOLDEN_KEYS
             if any(k.startswith(p) for c in loaded for p in prefixes[c])]
