@@ -139,6 +139,12 @@ def bench_device_speed(args):
         print(f"    per-step: {np.mean(t) / steps:.3f}s")
 
 
+_WEIGHTS_BANNER = ("  [quality caveat] measured on RANDOM-INIT weights — the "
+                   "number proves the mechanism at the stated cost, not "
+                   "product image quality; re-run with real checkpoints "
+                   "(docs/TRAINING.md, verify_parity hf)")
+
+
 def bench_quantized(args):
     """bf16 → int8 → int4 rungs: memory, speed AND a quality delta.
 
@@ -151,6 +157,7 @@ def bench_quantized(args):
     from qwen_image_edit_streamdiffusion_tpu.models import quantize
     from qwen_image_edit_streamdiffusion_tpu.models.common import param_bytes
 
+    print(_WEIGHTS_BANNER)
     pipe = _mk_pipe(args)
     img = imaging.make_test_image(args.size, args.size, "gradient")
     base_params = pipe.tfm_params
@@ -356,6 +363,7 @@ def bench_cfg_quality(args):
     including the Residual-CFG approximations: how close do rcfg (steps+1
     forwards) and rcfg-self (cond-only forwards) land to full batched CFG
     (2x forwards)?"""
+    print(_WEIGHTS_BANNER)
     pipe = _mk_pipe(args, cfg_mode="batched")
     img = imaging.make_test_image(args.size, args.size, "circle")
     no_cfg = pipe(img, "oil painting", num_inference_steps=args.steps, seed=42)
@@ -470,6 +478,181 @@ def bench_multicond(args):
 
     _timed(_edit_fn(pipe, a, args.steps), args.runs, label="1-cond edit")
     _timed(run, args.runs, label="2-cond edit")
+
+
+def bench_composed(args):
+    """The ALL-LEVERS realtime ceiling (VERDICT r3 next #1): every
+    measured ingredient stacked in one run — distilled tiny decoder +
+    distilled tiny encoder + rcfg-self guidance (CFG at cond-only cost)
+    + hybrid resolution (--preview-scale) + lag-1 pipelining — compared
+    against the plain stream, over three wires: the local loop, HTTP
+    stream sessions, and the binary /stream WebSocket.
+
+    The tiny halves are distilled IN-PROCESS first (--distill-steps
+    each, synthetic data): fps is weight-independent (same graphs), but
+    running the real artifacts end-to-end proves the full path and
+    prints the quality PSNRs alongside the speed."""
+    import base64
+    import io
+    import json
+    import statistics
+    import tempfile
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+        InferenceEngine,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.serving.server import make_server
+    from qwen_image_edit_streamdiffusion_tpu.serving.ws import WSClient
+    from qwen_image_edit_streamdiffusion_tpu.training import tiny_vae as tvt
+
+    print(_WEIGHTS_BANNER)
+    size = args.size
+    prompt = "Transform into oil painting style"
+    neg = "blurry, low quality"
+
+    # -- 1. distill both tiny halves ------------------------------------
+    tmp = tempfile.mkdtemp(prefix="qie_composed_")
+    dpath, epath = f"{tmp}/dec.safetensors", f"{tmp}/enc.safetensors"
+    tr_pipe = _mk_pipe(args, use_vl_encoder=False)
+    dist_size = min(size, 512)
+    imgs = tvt._synthetic_images(dist_size, 16)
+    rng = np.random.default_rng(0)
+    for name, trainer, build in (
+        ("decoder", tvt.TinyVAETrainer.from_pipeline(tr_pipe),
+         tvt.build_decoder_batch),
+        ("encoder", tvt.TinyEncoderTrainer.from_pipeline(tr_pipe),
+         tvt.build_encoder_batch),
+    ):
+        t0 = time.time()
+        for i in range(max(1, args.distill_steps)):
+            pick = rng.choice(len(imgs), size=4, replace=False)
+            trainer.step(build(tr_pipe, [imgs[j] for j in pick]))
+        batch = build(tr_pipe, imgs[:4])
+        print(f"  tiny {name}: {args.distill_steps} distill steps in "
+              f"{time.time() - t0:.1f}s, PSNR(tiny, full) "
+              f"{trainer.eval_psnr(batch):.2f} dB")
+        trainer.save(dpath if name == "decoder" else epath)
+    del tr_pipe
+
+    # -- 2. local loop: plain vs all-levers -----------------------------
+    def stream_cfg(**kw):
+        base = dict(
+            width=size, height=size, num_inference_steps=args.steps,
+            model_preset=args.preset, vae_image_area=size * size,
+            vl_image_area=min(384 * 384, size * size),
+            keyframe_interval=10, transfer_format="yuv420",
+        )
+        base.update(kw)
+        return StreamConfig(**base)
+
+    rt = RealtimePipeline(pipe=EditPipeline.create(
+        args.preset, config=stream_cfg(), seed=0))
+    rt.precompute_conditions(prompt)
+    rt.warmup(runs=2)
+    base_fps = rt.run_benchmark(num_frames=args.runs * 4, pipelined=True)
+    del rt
+
+    lever_cfg = stream_cfg(cfg_mode="rcfg-self",
+                           preview_scale=args.preview_scale)
+    pipe = EditPipeline.create(args.preset, config=lever_cfg, seed=0,
+                               tiny_decoder_path=dpath,
+                               tiny_encoder_path=epath)
+    rt = RealtimePipeline(pipe=pipe)
+    rt.precompute_conditions(prompt, negative_prompt=neg)
+    rt.warmup(runs=3)  # keyframe, temporal AND preview graphs
+    lever_seq = rt.run_benchmark(num_frames=args.runs * 4, pipelined=False)
+    lever_fps = rt.run_benchmark(num_frames=args.runs * 4, pipelined=True)
+    levers = (f"tiny-dec+tiny-enc+rcfg-self"
+              + (f"+preview{args.preview_scale}"
+                 if args.preview_scale > 1 else ""))
+    print(f"  local loop @{size}²: plain {base_fps:.2f} fps → "
+          f"ALL LEVERS ({levers}) {lever_fps:.2f} fps pipelined "
+          f"({lever_seq:.2f} sequential) — guided frames at cond-only "
+          f"forward count")
+    del rt, pipe
+
+    # -- 3. serve wires with the same levers ----------------------------
+    engine = InferenceEngine.create(
+        args.preset, seed=0, warmup_runs=1, warmup_stream=True,
+        input_size=size,  # rcfg-self anchors on the condition grid: the
+        # session's refine frames must run at the same size² as the
+        # output (also makes the 1024² run a true full-res wire number)
+        config=stream_cfg(cfg_mode="rcfg-self"),
+        tiny_decoder_path=dpath, tiny_encoder_path=epath)
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    n = max(10, args.runs * 3)
+    base = np.asarray(imaging.make_test_image(512, 512, "gradient"))
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/edit", json.dumps(body).encode(),
+                {"Content-Type": "application/json"})
+            t0 = time.time()
+            resp = json.loads(
+                urllib.request.urlopen(req, timeout=600).read())
+            assert resp["status"] == "success", resp
+            return time.time() - t0
+
+        # HTTP pipelined guided session
+        ts = []
+        for i in range(n + 2):
+            frame = Image.fromarray(np.roll(base, 7 * i, axis=1))
+            buf = io.BytesIO()
+            frame.save(buf, "JPEG", quality=90)
+            dt = post({
+                "image": base64.b64encode(buf.getvalue()).decode(),
+                "prompt": prompt, "steps": args.steps,
+                "use_cfg": True, "negative_prompt": neg,
+                "stream_session": "composed", "stream_pipeline": True,
+            })
+            if i >= 2:
+                ts.append(dt)
+        p50 = statistics.median(sorted(ts))
+        print(f"  HTTP session(pipelined, guided rcfg-self, tiny pair) "
+              f"p50 {p50:.3f}s ({1.0 / p50:.1f} fps, n={len(ts)}, "
+              f"@{engine.input_size}² refine frames)")
+
+        # binary WebSocket, full-duplex, same levers
+        c = WSClient("127.0.0.1", port)
+        c.recv()  # ready
+        c.send_config(prompt=prompt, steps=args.steps, use_cfg=True,
+                      negative_prompt=neg, pipeline=True)
+        c.recv()  # ack
+        nf = n * 2
+        payloads = []
+        for i in range(nf + 1):
+            frame = Image.fromarray(np.roll(base, 11 * i + 5, axis=1))
+            buf = io.BytesIO()
+            frame.save(buf, "JPEG", quality=90)
+            payloads.append(buf.getvalue())
+        c.send_image(payloads[0])  # warm keyframe, off the clock
+        got = c.recv()
+        assert not isinstance(got, dict), f"ws warm frame failed: {got}"
+        t0 = time.time()
+
+        def _ws_send():
+            for pl in payloads[1:]:
+                c.send_image(pl)
+
+        threading.Thread(target=_ws_send, daemon=True).start()
+        for _ in range(nf):
+            got = c.recv()
+            assert not isinstance(got, dict), f"ws frame failed: {got}"
+        wall = time.time() - t0
+        c.close()
+        print(f"  ws /stream(full-duplex, guided rcfg-self, tiny pair) "
+              f"{nf / wall:.1f} fps ({wall / nf:.3f}s/frame, n={nf})")
+    finally:
+        srv.shutdown()
 
 
 def bench_serve(args):
@@ -817,6 +1000,7 @@ def bench_distill(args):
     from qwen_image_edit_streamdiffusion_tpu.training import distill as dt
     from qwen_image_edit_streamdiffusion_tpu.training import lora_train as lt
 
+    print(_WEIGHTS_BANNER)
     pipe = _mk_pipe(args)
     student_steps = args.steps
     teacher_steps = 2 * student_steps
@@ -899,6 +1083,7 @@ BENCHES = {
     "cfg_quality": bench_cfg_quality,
     "cache": bench_cache,
     "stream": bench_stream,
+    "composed": bench_composed,
 }
 
 
