@@ -517,7 +517,18 @@ def bench_composed(args):
     prompt = "Transform into oil painting style"
     neg = "blurry, low quality"
 
-    # -- 1. distill both tiny halves ------------------------------------
+    # -- 1. distill both tiny halves (or reuse --artifacts) -------------
+    if args.artifacts:
+        dpath = os.path.join(args.artifacts,
+                             f"tiny_decoder_{args.preset}.safetensors")
+        epath = os.path.join(args.artifacts,
+                             f"tiny_encoder_{args.preset}.safetensors")
+        if os.path.exists(dpath) and os.path.exists(epath):
+            print(f"  reusing distilled artifacts from {args.artifacts}/")
+            _bench_composed_measure(args, dpath, epath)
+            return
+        print(f"  --artifacts {args.artifacts}: artifacts missing, "
+              "distilling in-process")
     tmp = tempfile.mkdtemp(prefix="qie_composed_")
     dpath, epath = f"{tmp}/dec.safetensors", f"{tmp}/enc.safetensors"
     tr_pipe = _mk_pipe(args, use_vl_encoder=False)
@@ -540,6 +551,33 @@ def bench_composed(args):
               f"{trainer.eval_psnr(batch):.2f} dB")
         trainer.save(dpath if name == "decoder" else epath)
     del tr_pipe
+    _bench_composed_measure(args, dpath, epath)
+
+
+def _bench_composed_measure(args, dpath, epath):
+    """Measurement half of bench_composed: local loop + serve wires with
+    the given tiny-pair artifacts."""
+    import base64
+    import io
+    import json
+    import statistics
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+        RealtimePipeline,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
+        InferenceEngine,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.serving.server import make_server
+    from qwen_image_edit_streamdiffusion_tpu.serving.ws import WSClient
+
+    size = args.size
+    prompt = "Transform into oil painting style"
+    neg = "blurry, low quality"
 
     # -- 2. local loop: plain vs all-levers -----------------------------
     def stream_cfg(**kw):
@@ -1104,6 +1142,10 @@ def main(argv=None):
                         os.environ.get("QIE_SIZE", "512"))))
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--artifacts", default=None,
+                    help="composed: directory holding pre-distilled "
+                    "tiny_{decoder,encoder}_<preset>.safetensors — skips "
+                    "the in-process distillation phase")
     ap.add_argument("--distill-steps", type=int, default=60,
                     help="distill bench: optimization steps between the "
                     "before/after PSNR evals")
