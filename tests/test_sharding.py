@@ -606,3 +606,50 @@ def test_vl_sharded_encoder_keeps_flash(tiny_preset, monkeypatch):
         np.asarray(out.embeds, np.float32),
         atol=2e-2, rtol=2e-2)
     np.testing.assert_array_equal(ref.mask, out.mask)
+
+
+def test_vl_sharded_encode_many_batched_flash(tiny_preset, monkeypatch):
+    """encode_many's BATCHED LM twin under a TP mesh: the vmapped
+    lm_forward wraps the shard_mapped causal flash kernel (vmap-of-
+    shard_map) — the coalesced-wave path a pod deployment actually runs.
+    Must match the sequential single-request encodes bit-for-bit."""
+    import dataclasses
+
+    from qwen_image_edit_streamdiffusion_tpu.models.qwen_vl import (
+        QwenVLEncoder,
+    )
+    from qwen_image_edit_streamdiffusion_tpu.ops import attention as att
+
+    vl = dataclasses.replace(
+        tiny_preset.vl, hidden_size=1024, num_heads=8, num_kv_heads=4,
+        intermediate_size=256, mrope_sections=(32, 16, 16),
+        vision_out_dim=1024)
+    img = np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    reqs = [("first prompt", (img,)), ("a different second prompt", (img,))]
+
+    enc = QwenVLEncoder(vl, seed=0, max_len=64)
+    mesh = meshes.make_mesh(cfg_axis=2, model_axis=4)
+    enc_s = QwenVLEncoder(vl, params=enc.params, max_len=64)
+    enc_s.params = sharding.shard_vl_params(enc.params, mesh)
+    enc_s.mesh = mesh
+    enc_s.interpret = True
+
+    calls = []
+    orig = att.sharded_causal_flash_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(att, "sharded_causal_flash_attention", spy)
+    with jax.set_mesh(mesh):
+        seq = [enc_s.encode(p, i) for p, i in reqs]
+        calls.clear()
+        batched = enc_s.encode_many(reqs)
+    assert calls, "batched sharded encode did not take the flash path"
+    for a, b in zip(seq, batched):
+        np.testing.assert_allclose(
+            np.asarray(a.embeds, np.float32),
+            np.asarray(b.embeds, np.float32), atol=2e-2, rtol=2e-2)
+        np.testing.assert_array_equal(a.mask, b.mask)
