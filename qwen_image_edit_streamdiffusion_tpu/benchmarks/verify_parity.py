@@ -349,10 +349,13 @@ def main(argv=None):
     acts = compute_activations(args.preset, params_override=loaded,
                                components=set(loaded), tokenizer=tokenizer)
     want = dict(np.load(args.goldens))
-    # tiny_vae is excluded from hf mode: the reference has no TAESD
-    # analog to capture from (it's pinned by the tiny-preset goldens only)
+    # tiny_vae and lora.* are excluded from hf mode: the reference has no
+    # TAESD analog to capture, and the LoRA round-trip golden uses
+    # jax-PRNG-seeded synthetic adapters the torch side cannot regenerate
+    # (both stay pinned by the tiny-preset goldens; validate real LoRA by
+    # serving outputs on weight day)
     prefixes = {"transformer": ("transformer.", "pack.", "scheduler.",
-                                "cfg.", "lora."),
+                                "cfg."),
                 "vae": ("vae.",), "vl": ("vl.",)}
     keys = [k for k in GOLDEN_KEYS
             if any(k.startswith(p) for c in loaded for p in prefixes[c])]
