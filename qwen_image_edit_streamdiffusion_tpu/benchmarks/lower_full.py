@@ -198,13 +198,17 @@ def lower_vl(mesh, is_tpu: bool, vl_bits: int = 0):
         temps = max(temps, mem.temp_size_in_bytes)
 
     # LM decoder at a bucketed serving prompt length (template + ~196
-    # merged vision tokens + instruction → L=512 bucket). GSPMD XLA
-    # attention: a pallas_call would be replicated under annotation-driven
-    # sharding (models/qwen_vl._lm_attention docstring).
+    # merged vision tokens + instruction → L=512 bucket). On the TPU
+    # topology this compiles the REAL serving path: the causal flash
+    # kernel shard_mapped over local head slices (r4 — 28q/4kv heads
+    # tile the 4-way model axis; a bare pallas_call would be replicated,
+    # which is why r3 compiled XLA attention here and the serving
+    # encoder used to force use_flash=False).
     l = 512
     hd = vlcfg.hidden_size // vlcfg.num_heads
     lfn = jax.jit(lambda p, e, c, s, m: qwen_vl.lm_forward(
-        p, vlcfg, e, c, s, m, use_flash=False))
+        p, vlcfg, e, c, s, m, use_flash=is_tpu,
+        mesh=mesh if is_tpu else None))
     t0 = time.time()
     compiled = lfn.lower(
         abs_params["lm"], abs_((l, vlcfg.hidden_size), dt),
