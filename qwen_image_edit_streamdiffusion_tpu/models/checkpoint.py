@@ -49,15 +49,22 @@ def load(path: str, like: Optional[Any] = None, shardings: Optional[Any] = None)
             like, shardings,
         )
     else:
-        # Explicit single-device placement: without ANY sharding orbax
-        # falls back to the sharding file and warns on every restore
-        # ("unsafe when restoring on a different topology") — and the
-        # single-host callers of this path genuinely want local placement,
-        # not whatever topology the checkpoint was written on.
+        # Without ANY sharding orbax falls back to the sharding file and
+        # warns on every restore ("unsafe when restoring on a different
+        # topology"). When a `like` leaf is a committed jax.Array its OWN
+        # sharding is the right restore target — mesh train-state resume
+        # (training/lora_train.py restore_train_state) passes live
+        # TP/DP-sharded leaves, and pinning those to device 0 makes the
+        # next jitted step fail with "incompatible devices". Only abstract
+        # leaves (ShapeDtypeStruct / plain shapes) fall back to explicit
+        # single-device placement, which the single-host callers want.
         dev = jax.local_devices()[0]
         one = jax.sharding.SingleDeviceSharding(dev)
         target = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=one),
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=getattr(x, "sharding", None) or one,
+            ),
             like,
         )
     return ckptr.restore(path, target)

@@ -654,7 +654,7 @@ class QwenVLEncoder:
         and the full LM forward in ONE jitted dispatch per
         (bucket, template) key."""
         key = ("lm", l, vision_starts, vt_shapes, self.use_flash,
-               id(self.mesh))
+               id(self.mesh), self.interpret)
         if key not in self._jit_cache:
             cfg = self.cfg
             use_flash = self.use_flash
@@ -710,7 +710,7 @@ class QwenVLEncoder:
         dispatch. The decoder at one 128-token row leaves most MXU rows
         idle; batching the wave recovers them."""
         key = ("lm_b", l, vision_starts, vt_shapes, self.use_flash, b,
-               id(self.mesh))
+               id(self.mesh), self.interpret)
         if key not in self._jit_cache:
             cfg = self.cfg
             use_flash = self.use_flash

@@ -616,6 +616,11 @@ class EditPipeline:
             params = sharding.replicate(params, self.mesh)
         self.tiny_encoder = (params, ecfg)
         self.config = self.config.replace(encoder="tiny")
+        # Encode graphs close over the previous artifact's TinyEncoderConfig
+        # (dtype cast) while the cache key carries only (hw, fmt, kind) —
+        # drop them so the next dispatch rebuilds against this artifact.
+        self._invalidate_jit_cache("vae_encode", "stream_fused",
+                                   "stream_fused_rows")
 
     @property
     def _decode_params(self):
@@ -639,6 +644,18 @@ class EditPipeline:
             params = sharding.replicate(params, self.mesh)
         self.tiny_vae = (params, tcfg)
         self.config = self.config.replace(decoder="tiny")
+        # Same staleness hazard as load_tiny_encoder, decode side.
+        self._invalidate_jit_cache("vae_decode", "stream_fused",
+                                   "stream_fused_rows")
+
+    def _invalidate_jit_cache(self, *families: str) -> None:
+        """Drop cached jitted graphs whose key family (first tuple element)
+        is in ``families`` — used when a closure input that is NOT part of
+        the cache key changes (tiny autoencoder artifact swap). Rebuild is
+        lazy on next use."""
+        for k in [k for k in self._jit_cache
+                  if isinstance(k, tuple) and k and k[0] in families]:
+            del self._jit_cache[k]
 
     def _vae_decode_fn(self, hw: Tuple[int, int]):
         """final packed tokens → (pixels, f32 latents), one jit: unpack,

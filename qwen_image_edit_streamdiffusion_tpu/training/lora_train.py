@@ -589,7 +589,17 @@ def restore_train_state(path: str, trainer: "LoRATrainer") -> "LoRATrainer":
         "rng": trainer._key,
         "step": jnp.asarray(trainer._steps, jnp.int32),
     }
-    state = ckpt.load(path, like=like)
+    shardings = None
+    if trainer.mesh is not None:
+        # Adapters/moments are REPLICATED over the mesh (build_step's
+        # design — grads psum, TP shards only the frozen base). Restoring
+        # without this pins every leaf to device 0 as a COMMITTED array
+        # and the next TP×DP step fails with "incompatible devices"
+        # (ADVICE r4 medium).
+        rep = jax.sharding.NamedSharding(trainer.mesh,
+                                         jax.sharding.PartitionSpec())
+        shardings = jax.tree_util.tree_map(lambda _: rep, like)
+    state = ckpt.load(path, like=like, shardings=shardings)
     trainer.lora = state["lora"]
     trainer.opt_state = state["opt_state"]
     trainer._key = state["rng"]

@@ -206,3 +206,26 @@ def test_save_lora_npz_fallback(tmp_path, pipe, tcfg, monkeypatch):
     lt.save_lora(p, lora, tcfg)
     data = np.load(p + ".npz")
     assert any(k.endswith("lora_A.weight") for k in data.files)
+
+
+def test_train_state_resume_on_mesh(tmp_path, tcfg, batch):
+    """Mesh train-state resume (ADVICE r4 medium): restore must land each
+    leaf on its OWN live sharding, not SingleDeviceSharding — a restore
+    pinned to device 0 makes the next TP×DP step fail with 'incompatible
+    devices'. save on mesh → restore into a fresh mesh trainer → step."""
+    from qwen_image_edit_streamdiffusion_tpu.core.meshes import make_mesh
+
+    mesh = make_mesh(cfg_axis=2, model_axis=4)
+    pipe_m = EditPipeline.create("tiny", seed=0, mesh=mesh)
+    t_a = lt.LoRATrainer.from_pipeline(pipe_m, tcfg)
+    t_a.step(batch)
+    path = str(tmp_path / "mesh_state")
+    lt.save_train_state(path, t_a)
+
+    pipe_b = EditPipeline.create("tiny", seed=0, mesh=mesh)
+    t_b = lt.LoRATrainer.from_pipeline(pipe_b, tcfg)
+    t_b = lt.restore_train_state(path, t_b)
+    assert t_b._steps == 1
+    loss_a = t_a.step(batch)
+    loss_b = t_b.step(batch)  # raised pre-fix: incompatible devices
+    assert abs(loss_a - loss_b) < 5e-2 * max(1.0, abs(loss_a))

@@ -381,3 +381,22 @@ def test_prompt_cache_encode_many_dedups_and_caches(tiny_preset):
     for a, b in zip(out1, out2):
         np.testing.assert_array_equal(np.asarray(a.embeds),
                                       np.asarray(b.embeds))
+
+
+def test_lm_jit_cache_keys_include_interpret(enc):
+    """ADVICE r4: toggling Pallas interpret mode after an LM graph is
+    cached must not silently reuse the old-flag graph — the cache key
+    carries self.interpret for both the single and batched LM twins."""
+    old = enc.interpret
+    try:
+        enc.interpret = False
+        f1 = enc._lm_fn(32, (4,), ((2, 8),))
+        enc.interpret = True
+        f2 = enc._lm_fn(32, (4,), ((2, 8),))
+        assert f1 is not f2
+        b1 = enc._lm_fn_batched(32, (4,), ((2, 8),), 2)
+        enc.interpret = False
+        b2 = enc._lm_fn_batched(32, (4,), ((2, 8),), 2)
+        assert b1 is not b2
+    finally:
+        enc.interpret = old

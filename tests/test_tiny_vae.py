@@ -247,3 +247,38 @@ def test_encoder_latent_grid_mismatch_raises():
     bad = dataclasses.replace(ECFG, latent_channels=4)
     with pytest.raises(ValueError, match="latent grid"):
         _check_tiny_enc_cfg(bad, pipe.preset.vae, "x")
+
+
+def test_artifact_swap_invalidates_cached_graphs(tmp_path):
+    """ADVICE r4: _vae_encode_fn/_vae_decode_fn close over the tiny
+    config while the cache key omits artifact identity — loading a new
+    artifact must drop the stale encode/decode/stream_fused graphs."""
+    pipe = EditPipeline.create("tiny", config=_stream_cfg(), seed=0)
+    trainer = tvt.TinyEncoderTrainer.from_pipeline(
+        pipe, tvt.TinyVAETrainConfig(width=8))
+    enc_path = str(tmp_path / "enc.safetensors")
+    trainer.save(enc_path, dtype="float32")
+    pipe.load_tiny_encoder(enc_path)
+    # populate an encode graph + fake stream graph under the tiny kind
+    pipe._vae_encode_fn((64, 64), "rgb", kind="tiny")
+    pipe._jit_cache[("stream_fused", "temporal", (64, 64))] = object()
+    assert ("vae_encode", (64, 64), "rgb", "tiny") in pipe._jit_cache
+
+    trainer2 = tvt.TinyEncoderTrainer.from_pipeline(
+        pipe, tvt.TinyVAETrainConfig(width=8))
+    enc2 = str(tmp_path / "enc2.safetensors")
+    trainer2.save(enc2, dtype="bfloat16")  # different dtype config
+    pipe.load_tiny_encoder(enc2)
+    assert ("vae_encode", (64, 64), "rgb", "tiny") not in pipe._jit_cache
+    assert not any(k[0].startswith("stream_fused")
+                   for k in pipe._jit_cache if isinstance(k, tuple))
+    # decode side: same contract
+    dtr = tvt.TinyVAETrainer.from_pipeline(
+        pipe, tvt.TinyVAETrainConfig(width=8))
+    dec_path = str(tmp_path / "dec.safetensors")
+    dtr.save(dec_path, dtype="float32")
+    pipe.load_tiny_decoder(dec_path)
+    pipe._vae_decode_fn((8, 8))
+    assert any(k[0] == "vae_decode" for k in pipe._jit_cache)
+    pipe.load_tiny_decoder(dec_path)
+    assert not any(k[0] == "vae_decode" for k in pipe._jit_cache)
