@@ -32,6 +32,9 @@ from qwen_image_edit_streamdiffusion_tpu.runtime.engine import (
     InvalidRequest,
     ModelNotLoaded,
 )
+from qwen_image_edit_streamdiffusion_tpu.runtime.watchdog import (
+    DeviceUnavailable,
+)
 
 SERVER_NAME = "Qwen-Image-Edit-2509 API (TPU)"
 
@@ -125,7 +128,9 @@ class _Handler(BaseHTTPRequestHandler):
         request.pop("raw_response", None)
         try:
             self._send(200, self.engine.edit(request))
-        except ModelNotLoaded as e:
+        except (ModelNotLoaded, DeviceUnavailable) as e:
+            # DeviceUnavailable: watchdog says the accelerator link is
+            # down/wedged — fast-fail retryable 503 instead of hanging
             self._send(503, {"detail": str(e)})
         except EngineBusy as e:
             self._send(429, {"detail": str(e)})
@@ -211,7 +216,7 @@ def create_fastapi_app(engine: InferenceEngine):
             return await loop.run_in_executor(
                 None, engine.edit, request.model_dump()
             )
-        except ModelNotLoaded as e:
+        except (ModelNotLoaded, DeviceUnavailable) as e:
             raise HTTPException(status_code=503, detail=str(e))
         except EngineBusy as e:
             raise HTTPException(status_code=429, detail=str(e))
@@ -261,6 +266,14 @@ def main(argv=None):
                          "(cross-request continuous batching; 0 = off, "
                          "reference single-flight semantics)")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--no-watchdog", action="store_true",
+                    default=os.environ.get("QIE_WATCHDOG", "1") == "0",
+                    help="disable the device-health watchdog (background "
+                         "probe + dispatch deadline; with it on, a dead "
+                         "accelerator link turns into fast 503s and an "
+                         "honest /health instead of a wedged server — "
+                         "tune via QIE_PROBE_INTERVAL/QIE_PROBE_DEADLINE/"
+                         "QIE_DISPATCH_DEADLINE)")
     ap.add_argument("--no-warmup-cfg", action="store_true",
                     help="skip compiling the use_cfg bucket at startup "
                          "(first CFG request then pays the compile)")
@@ -350,6 +363,7 @@ def main(argv=None):
         warmup_stream=args.warmup_stream or None,
         input_size=args.input_size,
         dynamic_batch=args.dynamic_batch,
+        watchdog=not args.no_watchdog,
         mesh=mesh,
         transformer_path=args.transformer, vae_path=args.vae,
         vl_path=args.vl, lora_path=args.lora,

@@ -296,8 +296,11 @@ def handle_connection(handler, engine) -> None:
                 # one dropped frame must not kill a live stream
                 from qwen_image_edit_streamdiffusion_tpu.runtime.engine \
                     import EngineBusy, InvalidRequest, ModelNotLoaded
+                from qwen_image_edit_streamdiffusion_tpu.runtime.watchdog \
+                    import DeviceUnavailable
 
-                code = (503 if isinstance(e, ModelNotLoaded)
+                code = (503 if isinstance(e, (ModelNotLoaded,
+                                              DeviceUnavailable))
                         else 429 if isinstance(e, EngineBusy)
                         else 422 if isinstance(e, InvalidRequest) else 500)
                 send_json({"status": "error", "code": code, "frame": True,
