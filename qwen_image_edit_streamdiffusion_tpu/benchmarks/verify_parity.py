@@ -53,14 +53,42 @@ GOLDEN_KEYS = (
     "vae.moments",
     "vae.decoded",
     "tiny_vae.decoded",
+    "tiny_vae.encoded",
+    "attn.sharded_causal_flash",
     "vl.vision_tokens",
     "vl.hidden",
+    "vl.hidden_many",
     "vl.chat_ids",
+    "stream.temporal_frame",
+)
+
+# Keys with no reference-side counterpart — JAX-side regressions only,
+# excluded from hf-mode comparison (must mirror the capture script's
+# UNCAPTURED_KEYS, sync-tested): the LoRA round-trip uses jax-PRNG
+# adapters, the tiny autoencoder pair is the TAESD analog the reference
+# lacks, the sharded causal flash kernel and the vmapped encode_many twin
+# are TPU-runtime mechanisms, and the composed temporal stream frame
+# exercises the temporal path the reference left unwired
+# (qwen_realtime.py:259-261).
+HF_UNCAPTURED = (
+    "lora.fused_velocity",
+    "tiny_vae.decoded",
+    "tiny_vae.encoded",
+    "attn.sharded_causal_flash",
+    "vl.hidden_many",
+    "stream.temporal_frame",
 )
 
 
 def _rng(seed: int) -> np.random.Generator:
     return np.random.default_rng(seed)
+
+
+# Default-call memo: the full activation set now includes fused stream
+# graphs whose CPU compile is the expensive part; the parity tests call
+# compute_activations several times and the result is deterministic, so
+# the synthetic no-override call is computed once per process.
+_DEFAULT_CACHE: Dict[str, Dict[str, np.ndarray]] = {}
 
 
 def compute_activations(
@@ -81,6 +109,11 @@ def compute_activations(
     minutes and memory for activations that get discarded). None = all;
     the cheap pure-function groups (scheduler/pack/cfg) always run.
     """
+    cacheable = (params_override is None and components is None
+                 and tokenizer is None)
+    if cacheable and preset_name in _DEFAULT_CACHE:
+        return dict(_DEFAULT_CACHE[preset_name])
+
     from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
     from qwen_image_edit_streamdiffusion_tpu.core.rng import key_from_seed, stream
     from qwen_image_edit_streamdiffusion_tpu.models import (
@@ -178,6 +211,31 @@ def compute_activations(
     vneg = rcfg_self_negative(xs, anchor, jnp.asarray(0.7, jnp.float32))
     out["cfg.rcfg_self_combined"] = np.asarray(combine_cfg(pos, vneg, 4.0))
 
+    # sharded causal GQA flash attention (round-4 surface): the kernel the
+    # TP-sharded VL decoder serves through (qwen_vl.py uses it via
+    # ops.attention). Interpret mode on a 1-device mesh pins the kernel's
+    # numerics — exp2-softmax folding, GQA kv-index maps, f32 accumulate —
+    # independent of mesh size (mesh≡single-device equality is pytest-
+    # covered; this golden catches numeric drift in the kernel itself).
+    if want is None:
+        from qwen_image_edit_streamdiffusion_tpu.core import meshes
+        from qwen_image_edit_streamdiffusion_tpu.ops.attention import (
+            sharded_causal_flash_attention,
+        )
+
+        amesh = meshes.make_mesh(cfg_axis=1, model_axis=1,
+                                 devices=jax.devices()[:1])
+        q = jnp.asarray(
+            _rng(12).standard_normal((1, 4, 256, 128)) * 0.1, jnp.float32)
+        kk = jnp.asarray(
+            _rng(13).standard_normal((1, 2, 256, 128)) * 0.1, jnp.float32)
+        vv = jnp.asarray(
+            _rng(14).standard_normal((1, 2, 256, 128)) * 0.1, jnp.float32)
+        out["attn.sharded_causal_flash"] = np.asarray(
+            sharded_causal_flash_attention(q, kk, vv, amesh,
+                                           interpret=True),
+            np.float32)
+
     # VAE encode moments + decode
     if want is None or "vae" in want:
         vcfg = preset.vae
@@ -211,6 +269,16 @@ def compute_activations(
             tv.decode(tparams, tdcfg, zlat), np.float32
         )
 
+        # tiny ENCODER (round-4 surface, VERDICT r4 next #4): the TAESD
+        # pair's input half — pins the stage/downsample layout and the
+        # normalized-latent-domain contract (tiny_vae.encode skips
+        # vae._normalize; the affine lives in its last conv).
+        tecfg = tv.TinyEncoderConfig.from_vae(vcfg)
+        teparams = tv.encoder_init(stream(key, "tiny_enc"), tecfg)
+        out["tiny_vae.encoded"] = np.asarray(
+            tv.encode(teparams, tecfg, img), np.float32
+        )
+
     # VL: vision tower + LM hidden states + chat template ids
     if want is not None and "vl" not in want:
         return out
@@ -229,6 +297,58 @@ def compute_activations(
     ids, _, _ = qwen_vl.build_chat_ids(enc.tokenizer, "prompt here", [4, 2])
     out["vl.chat_ids"] = np.asarray(ids, np.int64)
 
+    # encode_many's vmapped batched twin (round-4 surface): two same-
+    # bucket requests coalesce into ONE vmapped LM dispatch; row 0 must
+    # stay bit-compatible with the per-request path above (that equality
+    # is pytest-asserted — this golden pins the batched graph's numerics).
+    if want is None:
+        embs = enc.encode_many([
+            ("make it a watercolor painting", (vimg,)),
+            ("replace the sky with stars", (vimg,)),
+        ])
+        out["vl.hidden_many"] = np.stack(
+            [np.asarray(e.embeds, np.float32) for e in embs])
+
+    # composed-stream temporal frame (round-4 surface): the all-levers
+    # realtime configuration as deployed — tiny autoencoder PAIR on the
+    # temporal frame + rcfg-self guidance — through the single-dispatch
+    # fused graph (keyframe anchors first, frame 2 is the golden). Pins
+    # the re-noise rule, the tail-denoise start index, the virtual-
+    # negative anchor handoff, and the tiny pair's latent contracts in
+    # one array. Stored as f32 in [0,1]: uint8 quantization (≤1/255) sits
+    # inside the 3e-2 compare atol.
+    if want is None:
+        import warnings as _w
+
+        from qwen_image_edit_streamdiffusion_tpu.core.config import (
+            StreamConfig,
+        )
+        from qwen_image_edit_streamdiffusion_tpu.core import imaging
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.edit_pipeline \
+            import EditPipeline
+        from qwen_image_edit_streamdiffusion_tpu.pipeline.stream import (
+            RealtimePipeline,
+        )
+
+        sconfig = StreamConfig(
+            width=64, height=64, vae_image_area=64 * 64,
+            vl_image_area=32 * 32, num_inference_steps=2,
+            cfg_mode="rcfg-self", model_preset=preset_name,
+            decoder="tiny", encoder="tiny",
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # random-init tiny pair: wiring pin
+            spipe = EditPipeline.create(preset_name, config=sconfig, seed=0)
+        rt = RealtimePipeline(pipe=spipe)
+        rt.precompute_conditions("golden stream", negative_prompt="blurry")
+        frame = imaging.make_test_image(64, 64, "gradient")
+        rt.process_frame(frame)  # keyframe (full VAE, re-anchor)
+        f2 = rt.process_frame(frame)  # temporal: tiny pair + rcfg-self
+        out["stream.temporal_frame"] = (
+            np.asarray(f2, np.float32) / 255.0)
+
+    if cacheable:
+        _DEFAULT_CACHE[preset_name] = dict(out)
     return out
 
 
@@ -349,16 +469,16 @@ def main(argv=None):
     acts = compute_activations(args.preset, params_override=loaded,
                                components=set(loaded), tokenizer=tokenizer)
     want = dict(np.load(args.goldens))
-    # tiny_vae and lora.* are excluded from hf mode: the reference has no
-    # TAESD analog to capture, and the LoRA round-trip golden uses
-    # jax-PRNG-seeded synthetic adapters the torch side cannot regenerate
-    # (both stay pinned by the tiny-preset goldens; validate real LoRA by
-    # serving outputs on weight day)
+    # HF_UNCAPTURED keys are excluded from hf mode (no reference
+    # counterpart — see the table's comment; all stay pinned by the
+    # tiny-preset goldens, and real LoRA / stream quality are validated
+    # by serving outputs on weight day)
     prefixes = {"transformer": ("transformer.", "pack.", "scheduler.",
                                 "cfg."),
                 "vae": ("vae.",), "vl": ("vl.",)}
     keys = [k for k in GOLDEN_KEYS
-            if any(k.startswith(p) for c in loaded for p in prefixes[c])]
+            if k not in HF_UNCAPTURED
+            and any(k.startswith(p) for c in loaded for p in prefixes[c])]
     failures = [f for f in compare(acts, want, subset=True)
                 if f.split(":")[0] in keys]
     for f in failures:

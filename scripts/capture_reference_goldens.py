@@ -44,19 +44,35 @@ GOLDEN_KEYS = (
     "vae.moments",
     "vae.decoded",
     "tiny_vae.decoded",
+    "tiny_vae.encoded",
+    "attn.sharded_causal_flash",
     "vl.vision_tokens",
     "vl.hidden",
+    "vl.hidden_many",
     "vl.chat_ids",
+    "stream.temporal_frame",
 )
 
 # Keys that exist only on the JAX side and are NOT written by this
-# capture: lora.fused_velocity uses jax-PRNG-seeded synthetic adapters
-# (pinned by the tiny-preset goldens; with real weights validate LoRA by
-# serving outputs instead), and tiny_vae.decoded is the TAESD-analog the
-# reference has no counterpart for. cfg.rcfg_self_combined IS written —
-# it is a pure formula (our StreamDiffusion §3.2 translation) and the
-# capture documents it numerically for the torch side.
-UNCAPTURED_KEYS = ("lora.fused_velocity", "tiny_vae.decoded")
+# capture (must equal verify_parity.HF_UNCAPTURED, sync-tested):
+# lora.fused_velocity uses jax-PRNG-seeded synthetic adapters (pinned by
+# the tiny-preset goldens; with real weights validate LoRA by serving
+# outputs instead); the tiny autoencoder pair is the TAESD-analog the
+# reference has no counterpart for; attn.sharded_causal_flash and
+# vl.hidden_many are TPU-runtime mechanisms (the shard_mapped causal
+# kernel, the vmapped batched-LM twin); stream.temporal_frame exercises
+# the temporal path the reference left unwired (qwen_realtime.py:259-261).
+# cfg.rcfg_self_combined IS written — it is a pure formula (our
+# StreamDiffusion §3.2 translation) and the capture documents it
+# numerically for the torch side.
+UNCAPTURED_KEYS = (
+    "lora.fused_velocity",
+    "tiny_vae.decoded",
+    "tiny_vae.encoded",
+    "attn.sharded_causal_flash",
+    "vl.hidden_many",
+    "stream.temporal_frame",
+)
 
 # Must equal models.text_encoder.SYSTEM_PROMPT / models.qwen_vl template
 # constants (sync-tested; duplicated here so this script imports without
@@ -100,11 +116,18 @@ def expected_shapes(preset_cfg) -> dict:
         "vae.moments": (1, 4, 4, 2 * z),
         "vae.decoded": (1, 32, 32, 3),
         "tiny_vae.decoded": (1, 32, 32, 3),
+        # 32×32 seeded image → 8× downsample → 4×4 normalized latents
+        "tiny_vae.encoded": (1, 4, 4, z),
+        # causal GQA kernel golden: q (1, 4 heads, L=256, D=128)
+        "attn.sharded_causal_flash": (1, 4, 256, 128),
         # 64×64 seeded image → smart-resize 56×56 → 4×4 patch grid → 2×2
         # merge → 4 vision tokens
         "vl.vision_tokens": (4, vl.vision_out_dim),
         "vl.hidden": (VL_HIDDEN_BUCKET, vl.hidden_size),
+        "vl.hidden_many": (2, VL_HIDDEN_BUCKET, vl.hidden_size),
         "vl.chat_ids": (None,),
+        # composed all-levers temporal stream frame, f32 RGB in [0, 1]
+        "stream.temporal_frame": (64, 64, 3),
     }
 
 
