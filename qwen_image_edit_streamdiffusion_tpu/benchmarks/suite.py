@@ -139,6 +139,25 @@ def bench_device_speed(args):
         print(f"    per-step: {np.mean(t) / steps:.3f}s")
 
 
+def bench_rehearsal(args):
+    """Weight-day rehearsal (VERDICT r4 next #3): fabricate a synthetic
+    HF-layout checkpoint → `checkpoint convert` (3 rungs) →
+    `from_checkpoint` → serve an edit through the engine → `verify_parity
+    hf` against a stand-in capture. One command proving every link of the
+    real-weights chain runs today (benchmarks/rehearsal.py; the same flow
+    is CI-guarded by tests/test_rehearsal.py on the 8-device mesh)."""
+    import tempfile
+
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import rehearsal
+
+    preset = args.preset if args.preset == "tiny" else "tiny"
+    if args.preset != "tiny":
+        print(f"  (rehearsal runs at tiny scale, not {args.preset!r} — "
+              "the layout/command chain is scale-independent)")
+    with tempfile.TemporaryDirectory(prefix="qie_rehearsal_") as wd:
+        rehearsal.run(wd, preset_name=preset)
+
+
 _WEIGHTS_BANNER = ("  [quality caveat] measured on RANDOM-INIT weights — the "
                    "number proves the mechanism at the stated cost, not "
                    "product image quality; re-run with real checkpoints "
@@ -1122,6 +1141,7 @@ BENCHES = {
     "cache": bench_cache,
     "stream": bench_stream,
     "composed": bench_composed,
+    "rehearsal": bench_rehearsal,
 }
 
 
