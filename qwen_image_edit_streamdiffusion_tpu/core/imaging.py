@@ -133,12 +133,15 @@ def array_to_pil(arr: np.ndarray) -> Image.Image:
 
 
 def make_test_image(
-    width: int = 512, height: int = 512, kind: str = "gradient"
+    width: int = 512, height: int = 512, kind: str = "gradient",
+    phase: float = 0.0,
 ) -> Image.Image:
     """Synthetic fixtures matching the reference's test images
     (SURVEY.md §4: gradient qwen_realtime.py:395-403, gray server.py:84,
     gradient+circle test_qwen_edit.py:13-36, animated sine pattern
-    qwen_realtime.py:334-346)."""
+    qwen_realtime.py:334-346). ``phase`` animates the "sine" kind —
+    stepping it per frame reproduces the reference's moving headless test
+    pattern (used by the stream temporal-coherence metric)."""
     if kind == "gray":
         return Image.new("RGB", (width, height), "gray")
     y = np.linspace(0, 1, height)[:, None]
@@ -162,7 +165,7 @@ def make_test_image(
         mask = yy + xx < (min(width, height) / 5) ** 2
         img[mask] = [255.0, 32.0, 32.0]
     elif kind == "sine":
-        t = 0.0
+        t = float(phase)
         img = np.stack(
             [127 + 127 * np.sin(np.broadcast_to(x * width / 50, (height, width)) + t),
              127 + 127 * np.sin(np.broadcast_to(y * height / 50, (height, width)) + t),
