@@ -1,0 +1,628 @@
+"""The 20B flagship latency dossier: a DEFENDED projection (VERDICT r4
+next #1) that converts `lower_full`'s "FITS" into a verdict on the
+north star — "<5.6 s/img @1024² with the real 20B" (BASELINE.md, vs the
+reference's A100 headline, /root/reference/README.md:15-17) — using only
+artifacts that exist today:
+
+- **per-executable FLOPs/bytes** from ``compiled.cost_analysis()`` on the
+  same AOT TPU-topology graphs lower_full memory-checks (no chips
+  needed),
+- **ICI collective volumes** parsed from the compiled sharded HLO
+  (all-reduce / all-gather / reduce-scatter / collective-permute
+  operand bytes — GSPMD's actual insertions, not an analytic guess),
+- **measured bench-2b efficiencies** from this repo's single-v5e runs:
+  GEMMs at 176 TF/s (89% of bf16 peak — the MXU-compute-bound roofline,
+  CLAUDE.md), the flash kernel at its measured rates (96.8 TF/s
+  resident @L=8704 / 89 TF/s HBM-streaming @L=12544, bench_flash), and
+  the VAE/VL stage rates calibrated from profile_stages.
+
+Projection model, per sharded model call:
+
+    t_call = F_gemm/dev / R_gemm  +  Σ_layers f_attn/dev / R_flash
+             + t_collectives(HLO bytes, ring over the model axis)
+
+with f_attn = 4·L²·d_head·H (the exact formula under which the kernel's
+96.8 TF/s was measured: 4.81 ms/layer at L=8704, H=12, d=128 — CLAUDE.md
+roofline note). XLA's cost model assigns ZERO flops to Mosaic custom
+calls, so when the flash kernel is compiled (ambient TPU platform) the
+reported flops ARE the GEMM-only number; under a forced-CPU run the XLA
+attention fallback's flops are subtracted analytically instead. Loop
+graphs are deliberately NOT analyzed: XLA cost analysis counts a while
+body once regardless of trip count — and the measured denoise-loop
+roofline (identity-model ablation, CLAUDE.md) already established
+t_loop = steps × t_call + one dispatch RTT, so the bare sharded call
+graph × steps is both simpler and *validated*.
+
+**The method is self-validated before it projects**: `--validate` runs
+the identical machinery on the bench-2b preset's own AOT graphs and
+compares each projected stage against the numbers MEASURED on the real
+v5e chip (2026-08, CLAUDE.md) — the projection must land inside the
+measured bands before the 20B table is trusted.
+
+Run (ambient TPU platform — the axon plugin makes jax.devices() TPU so
+the flash kernel path compiles; libtpu does the topology AOT locally):
+
+    python -m qwen_image_edit_streamdiffusion_tpu.benchmarks.project_flagship --validate
+    python -m qwen_image_edit_streamdiffusion_tpu.benchmarks.project_flagship \
+        [--json dossier.json]
+
+Results live in docs/DEPLOY.md §"Projected flagship latency".
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Measured constants (single real v5e via the axon tunnel; dates + source
+# in CLAUDE.md). These are the ONLY inputs that are not derived from the
+# compiled graphs.
+# ---------------------------------------------------------------------------
+
+V5E_BF16_PEAK = 197e12      # public v5e peak, bf16 MXU
+R_GEMM = 176e12             # measured: bench-2b transformer GEMM slice
+                            # (11.48 TFLOP analytic in 65-67 ms → 89% MXU)
+R_FLASH_RESIDENT = 96.8e12  # measured: 4.81 ms/layer @ L=8704 H=12 d=128
+R_FLASH_STREAMING = 89e12   # measured: 10.9 ms/layer @ L=12544 (HBM-stream)
+FLASH_STREAM_THRESHOLD = 11_264  # L above which K/V exceed resident VMEM
+HBM_BW = 819e9              # public v5e HBM bandwidth
+# v5e ICI: 45 GB/s per link per direction (public); a bidirectional ring
+# along the model axis drives 2 links concurrently. The ±2× sensitivity
+# of this single non-measured constant is carried into the error budget —
+# collectives are a small slice of t_call, so it cannot flip the verdict.
+ICI_RING_BW = 90e9
+RTT_TUNNEL_S = 0.029        # measured per-fetch-synced-dispatch floor
+RTT_ATTACHED_S = 0.001      # directly-attached host (PCIe dispatch)
+TUNNEL_MBPS = 30e6          # measured 25-35 MB/s device<->host (axon)
+
+# Tunnel wire constants for the --validate column (measured; the pod
+# projection uses the attached-host column where these are ~0):
+VL_IMG_UPLOAD_S = 0.015     # 392² uint8 condition image up the tunnel
+IMG_UPLOAD_S = 0.045        # 1024² uint8 input (content-dependent 20-70)
+FETCH_1024_S = 0.100        # 3 MB RGB out (116 single / 88 chunked)
+
+# Measured bench-2b stage bands @1024² (fetch-synced, healthy link) —
+# the targets --validate must hit, stated at the same accounting level
+# the projection produces:
+# - model_call: in-loop per-step device time ((414 − 26.8 RTT)/2 =
+#   193.6 ms ablation; 2×183.6 in the r4 breakdown) — pure device.
+# - vl_stage: the full VL stage as profiled (80.4 ms r4 breakdown,
+#   53-65 ms in lighter runs) — at 0.18B the device flops are ~0, the
+#   stage is its two dispatch RTTs + the condition-image upload, which
+#   is exactly what the projection must reproduce.
+# - vae_decode: 55.3 ms scan-amortized device (Pallas; 59.1 XLA convs).
+# - vae_encode device-only: derived band — the 82-88 ms stage minus its
+#   RTT + content-dependent upload share.
+# - e2e_fast: the measured cache-miss band (median runs 0.66-0.76,
+#   best-window min 0.625).
+MEASURED_2B = {
+    "model_call_s": (0.175, 0.200),
+    "vl_stage_s": (0.053, 0.085),
+    "vae_encode_dev_s": (0.025, 0.060),
+    "vae_decode_s": (0.050, 0.062),
+    "e2e_fast_s": (0.625, 0.77),
+}
+
+NORTH_STAR_S = 5.6          # reference A100 headline, 512² 2-step
+
+
+# ---------------------------------------------------------------------------
+# Graph analysis
+# ---------------------------------------------------------------------------
+
+
+def _cost(compiled) -> Dict[str, float]:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return ca
+
+
+def xla_flops(compiled) -> float:
+    """XLA-visible flops of the compiled (per-device SPMD) module.
+    Mosaic custom calls (flash attention, Pallas convs) report zero."""
+    return float(_cost(compiled).get("flops", 0.0))
+
+
+def xla_bytes(compiled) -> float:
+    c = _cost(compiled)
+    for k, v in c.items():
+        if k == "bytes accessed":
+            return float(v)
+    return 0.0
+
+
+_COLL_OP_RE = re.compile(
+    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute)"
+    r"(-start)?\(")
+_SHAPE_RE = re.compile(
+    r"\b(pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|s64|u64)"
+    r"\[([\d,]*)\]")
+_BPE = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2,
+        "u16": 2, "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8,
+        "u64": 8}
+
+
+def collective_bytes(hlo_text: str) -> Dict[str, float]:
+    """Sum collective payload bytes per op kind from optimized HLO text.
+
+    HLO instruction lines read ``%name = TYPE op-name(operands)``; the
+    payload is the result TYPE before the op token (for async
+    ``-start`` ops the result is a tuple whose entries alias the payload
+    — the largest single shape in it is the moved buffer, counted once;
+    ``-done`` lines re-print shapes and are skipped). Static text — an
+    op inside a while body is counted once; callers multiply by trip
+    count (this module only analyzes loop-free graphs)."""
+    out: Dict[str, float] = {}
+    for line in hlo_text.splitlines():
+        m = _COLL_OP_RE.search(line)
+        if m is None or "-done(" in line:
+            continue
+        head = line[:m.start()]
+        sizes = [int(np.prod([int(x) for x in s.split(",")])) * _BPE[dt]
+                 if s else _BPE[dt]
+                 for dt, s in _SHAPE_RE.findall(head)]
+        if not sizes:
+            continue
+        out[m.group(1)] = out.get(m.group(1), 0.0) + max(sizes)
+    return out
+
+
+def collective_time_s(hlo_text: str, ring_n: int,
+                      bw: float = ICI_RING_BW) -> float:
+    """Ring-algorithm time for the graph's collectives over an n-chip
+    axis: all-reduce moves 2(n−1)/n · V per chip, all-gather/
+    reduce-scatter (n−1)/n · V, permute V."""
+    if ring_n <= 1:
+        return 0.0
+    c = collective_bytes(hlo_text)
+    f_ar = 2 * (ring_n - 1) / ring_n
+    f_ag = (ring_n - 1) / ring_n
+    t = (c.get("all-reduce", 0.0) * f_ar
+         + c.get("all-gather", 0.0) * f_ag
+         + c.get("reduce-scatter", 0.0) * f_ag
+         + c.get("collective-permute", 0.0))
+    return t / bw
+
+
+def attn_flops_per_layer(L: int, heads: int, head_dim: int,
+                         causal: bool = False) -> float:
+    """4·L²·d·H (QK^T + PV, 2 flops/MAC) — the formula under which the
+    kernel rates were measured. Causal halves the visited blocks."""
+    f = 4.0 * L * L * head_dim * heads
+    return f / 2 if causal else f
+
+
+def flash_rate(L: int) -> float:
+    return R_FLASH_RESIDENT if L <= FLASH_STREAM_THRESHOLD \
+        else R_FLASH_STREAMING
+
+
+# ---------------------------------------------------------------------------
+# Topology + graph builders (reuse lower_full's conventions)
+# ---------------------------------------------------------------------------
+
+
+def _topology_mesh(n_devices: int):
+    from qwen_image_edit_streamdiffusion_tpu.benchmarks import lower_full
+
+    mesh, is_tpu = lower_full._tpu_topology_mesh(n_devices)
+    if mesh is None:
+        raise RuntimeError(
+            "TPU topology AOT unavailable (no libtpu) — the dossier needs "
+            "the real compiled graphs; run where lower_full runs.")
+    return mesh
+
+
+def _ambient_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def compile_model_call(preset_name: str, mesh, txt_len: int = 256,
+                       img_hw: int = 64, rows: int = 1):
+    """AOT the bare sharded transformer call at the serving bucket
+    (img_hw=64 ↔ 1024² latents → 64² patch grid per image; target +
+    one condition image). Returns (compiled, meta)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
+    from qwen_image_edit_streamdiffusion_tpu.models import transformer as tfm
+    from qwen_image_edit_streamdiffusion_tpu.parallel import sharding
+
+    preset = get_preset(preset_name)
+    cfg = preset.model
+    use_flash = _ambient_tpu()
+    shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    specs = sharding.transformer_param_specs(shapes)
+    params_abs = jax.tree_util.tree_map(
+        lambda s, p: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, p)),
+        shapes, specs)
+    img_shapes = ((1, img_hw, img_hw), (1, img_hw, img_hw))
+    l_img = sum(f * h * w for f, h, w in img_shapes)
+    L = l_img + txt_len
+    ropes = tfm.make_rope(cfg, img_shapes, txt_len)
+    rep = NamedSharding(mesh, P())
+    tp = mesh.shape.get("model", 1)
+
+    def fwd(params, img, txt, t):
+        return tfm.forward(params, cfg, img, txt, t, ropes,
+                           use_flash=use_flash,
+                           mesh=mesh if use_flash else None)
+
+    args = (
+        params_abs,
+        jax.ShapeDtypeStruct((rows, l_img, cfg.in_channels), jnp.bfloat16,
+                             sharding=rep),
+        jax.ShapeDtypeStruct((rows, txt_len, cfg.joint_dim), jnp.bfloat16,
+                             sharding=rep),
+        jax.ShapeDtypeStruct((rows,), jnp.float32, sharding=rep),
+    )
+    t0 = time.time()
+    compiled = jax.jit(fwd).lower(*args).compile()
+    meta = {"L": L, "tp": tp, "rows": rows, "use_flash": use_flash,
+            "layers": cfg.num_layers, "heads": cfg.num_heads,
+            "head_dim": cfg.head_dim, "compile_s": time.time() - t0}
+    return compiled, meta
+
+
+def project_model_call(compiled, meta) -> Dict[str, float]:
+    """Per-call projected seconds, split by component.
+
+    Attention flops are subtracted from the XLA total and replaced by
+    the measured-kernel term UNCONDITIONALLY: verified on the bench-2b
+    graph that the Mosaic flash custom call registers a cost ≈ its
+    analytic 4L²dH (the flash-compiled and XLA-attention-fallback
+    modules report identical total flops, 22.717 TF), so either compile
+    double-counts attention if left in."""
+    L, tp = meta["L"], meta["tp"]
+    f_attn_dev = (meta["layers"]
+                  * attn_flops_per_layer(L, meta["heads"], meta["head_dim"])
+                  / tp)
+    f_xla = xla_flops(compiled)
+    f_gemm = max(f_xla - f_attn_dev, 0.0)
+    t_gemm = f_gemm / R_GEMM
+    t_attn = f_attn_dev / flash_rate(L)
+    t_coll = collective_time_s(compiled.as_text(), tp)
+    return {"t_gemm": t_gemm, "t_attn": t_attn, "t_coll": t_coll,
+            "t_call": t_gemm + t_attn + t_coll,
+            "f_gemm_dev": f_gemm, "f_attn_dev": f_attn_dev}
+
+
+def compile_vae(preset_name: str, mesh, size: int = 1024):
+    """AOT replicated VAE encode + decode at size² (XLA convs — the pod
+    path; also the variant whose 59.1 ms bench-2b measurement calibrates
+    the conv rate)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
+    from qwen_image_edit_streamdiffusion_tpu.models import vae as vae_mod
+
+    prior = os.environ.get("QIE_PALLAS_CONV")
+    os.environ["QIE_PALLAS_CONV"] = "0"
+    try:
+        preset = get_preset(preset_name)
+        vcfg = preset.vae
+        shapes = jax.eval_shape(
+            lambda: vae_mod.init(jax.random.PRNGKey(0), vcfg))
+        rep = NamedSharding(mesh, P())
+        abs_params = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
+            shapes)
+        dt = jnp.dtype(vcfg.dtype)
+        z = size // vcfg.spatial_downsample
+        enc = jax.jit(lambda p, x: vae_mod.encode(p, vcfg, x)).lower(
+            abs_params,
+            jax.ShapeDtypeStruct((1, size, size, 3), dt, sharding=rep),
+        ).compile()
+        dec = jax.jit(lambda p, x: vae_mod.decode(p, vcfg, x)).lower(
+            abs_params,
+            jax.ShapeDtypeStruct((1, z, z, vcfg.latent_channels), dt,
+                                 sharding=rep),
+        ).compile()
+    finally:
+        if prior is None:
+            del os.environ["QIE_PALLAS_CONV"]
+        else:
+            os.environ["QIE_PALLAS_CONV"] = prior
+    return enc, dec
+
+
+def compile_vl(preset_name: str, mesh, lm_len: int = 128):
+    """AOT the VL vision tower (384² condition grid) + LM decoder at the
+    serving prompt bucket, TP-sharded like lower_vl. Returns
+    (vision_compiled, lm_compiled, meta)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
+    from qwen_image_edit_streamdiffusion_tpu.models import qwen_vl
+    from qwen_image_edit_streamdiffusion_tpu.parallel import sharding as shd
+
+    preset = get_preset(preset_name)
+    vlcfg = preset.vl
+    use_flash = _ambient_tpu()
+    shapes = jax.eval_shape(
+        lambda: qwen_vl._init_all(jax.random.PRNGKey(0), vlcfg))
+    axes = shd._vl_axes(mesh)
+    specs = shd.vl_param_specs(shapes, axes=axes,
+                               axis_sizes=dict(mesh.shape))
+    abs_params = jax.tree_util.tree_map(
+        lambda s, p: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, p)),
+        shapes, specs, is_leaf=lambda x: isinstance(x, P))
+    rep = NamedSharding(mesh, P())
+    abs_ = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+    dt = jnp.dtype(vlcfg.dtype)
+    gh = gw = 28  # 392² smart-resized VL condition image
+    patch_in = 3 * vlcfg.temporal_patch_size * vlcfg.patch_size ** 2
+    vis = jax.jit(
+        lambda p, x: qwen_vl.vision_forward(p, vlcfg, x, gh, gw)
+    ).lower(abs_params["vision"], abs_((gh * gw, patch_in), dt)).compile()
+    hd = vlcfg.hidden_size // vlcfg.num_heads
+    lm = jax.jit(lambda p, e, c, s, m: qwen_vl.lm_forward(
+        p, vlcfg, e, c, s, m, use_flash=use_flash,
+        mesh=mesh if use_flash else None,
+    )).lower(
+        abs_params["lm"], abs_((lm_len, vlcfg.hidden_size), dt),
+        abs_((lm_len, hd), jnp.float32), abs_((lm_len, hd), jnp.float32),
+        abs_((lm_len,), jnp.bool_),
+    ).compile()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    meta = {"lm_len": lm_len, "grid": gh * gw, "use_flash": use_flash,
+            "layers": vlcfg.num_layers, "heads": vlcfg.num_heads,
+            "head_dim": hd, "n_dev": n_dev,
+            "vision_layers": vlcfg.vision_depth,
+            "vision_heads": vlcfg.vision_heads,
+            "vision_head_dim": vlcfg.vision_hidden // vlcfg.vision_heads}
+    return vis, lm, meta
+
+
+def project_vl(vis, lm, meta, mesh) -> Dict[str, float]:
+    """Projected VL encode seconds (vision + LM, one prompt).
+
+    The vision tower runs XLA attention by constraint (head_dim 80,
+    64-token windows — below kernel tiling), so its flops are fully
+    XLA-visible; the LM's causal flash kernel is invisible when flash
+    compiled and added analytically at the resident rate (causal halves
+    the visited blocks)."""
+    tp = max(mesh.shape.get("model", 1) * mesh.shape.get("cfg", 1), 1)
+    f_vis = xla_flops(vis)  # replicated or sharded — per-device already
+    t_vis = f_vis / R_GEMM + collective_time_s(vis.as_text(),
+                                               mesh.shape.get("model", 1))
+    L = meta["lm_len"]
+    f_attn_dev = (meta["layers"]
+                  * attn_flops_per_layer(L, meta["heads"],
+                                         meta["head_dim"], causal=True)
+                  / tp)
+    f_lm = xla_flops(lm)
+    f_gemm = max(f_lm - f_attn_dev, 0.0)  # same replacement as the
+    # transformer: the compiled module carries an attention cost either
+    # way (Mosaic-registered or XLA fallback); sub-ms at prompt lengths
+    t_lm = (f_gemm / R_GEMM + f_attn_dev / R_FLASH_RESIDENT
+            + collective_time_s(lm.as_text(), mesh.shape.get("model", 1)))
+    return {"t_vis": t_vis, "t_lm": t_lm, "t_vl": t_vis + t_lm}
+
+
+def project_vae(enc, dec, calib: Optional[Dict[str, float]] = None
+                ) -> Dict[str, float]:
+    """Projected VAE stage seconds from a conv-rate roofline.
+
+    R_conv is calibrated from the measured bench-2b XLA-conv decode
+    (59.1 ms @1024²) against that graph's own flops — VAE convs underfill
+    the MXU (small channel counts at high resolution), so the realized
+    rate is well below R_gemm and must come from measurement, not peak.
+    calib: {"r_conv": flops/s} from the --validate run; default uses the
+    constant derived from the checked-in measurement."""
+    r_conv = (calib or {}).get("r_conv", R_CONV_DEFAULT)
+    out = {}
+    for name, c in (("t_vae_encode", enc), ("t_vae_decode", dec)):
+        f, b = xla_flops(c), xla_bytes(c)
+        out[name] = max(f / r_conv, b / HBM_BW)
+        out[name + "_flops"] = f
+    return out
+
+
+# Calibrated from the bench-2b decode graph: 1.09 TFLOP (cost_analysis)
+# / 55.3 ms scan-amortized device measurement → 19.7 TF/s realized conv
+# rate (10% of peak — small-C conv MXU underfill at high resolution;
+# --validate prints the calibration readback).
+R_CONV_DEFAULT = 20e12
+
+
+# ---------------------------------------------------------------------------
+# Config table
+# ---------------------------------------------------------------------------
+
+
+def compose_e2e(t_call: float, vl: Dict[str, float], vae: Dict[str, float],
+                steps: int = 2, attached: bool = True) -> Dict[str, float]:
+    """Stage projections → request/frame latencies for the serving modes.
+
+    Dispatch accounting (validated by the bench-2b ledger): 5 dispatch
+    groups per request — VL vision + VL LM, VAE encode, the denoise loop
+    (zero per-step overhead, measured identity-model ablation), decode —
+    each paying one RTT; the tunnel column additionally pays the
+    measured pixel-wire slices (condition-image + input uploads, output
+    fetch), which a directly-attached pod host does not."""
+    rtt = RTT_ATTACHED_S if attached else RTT_TUNNEL_S
+    vl_stage = vl["t_vl"] + 2 * rtt + (0.0 if attached else VL_IMG_UPLOAD_S)
+    enc_stage = (vae["t_vae_encode"] + rtt
+                 + (0.0 if attached else IMG_UPLOAD_S))
+    dec_stage = (vae["t_vae_decode"] + rtt
+                 + (0.0 if attached else FETCH_1024_S))
+    fast = vl_stage + enc_stage + (steps * t_call + rtt) + dec_stage
+    # rcfg-self: cond-only forward count (the virtual negative is an
+    # elementwise formula inside the loop) + one extra (negative) LM
+    # prompt encode at session start, amortized to ~0 per request here
+    rcfg_self = fast
+    # batched CFG doubles the model rows; on a cfg≥2 mesh parallel CFG
+    # splits them over the idle cfg axis back to 1× latency
+    batched_cfg = fast + steps * t_call
+    parallel_cfg = fast
+    # temporal stream frame: ONE fused dispatch (encode → tail steps/2
+    # denoise → decode); frozen prompt conditioning → no VL stage; the
+    # stream wire ships yuv420 (half the pixel bytes each way)
+    stream_wire = 0.0 if attached else (IMG_UPLOAD_S + FETCH_1024_S) / 2
+    stream_frame = (vae["t_vae_encode"] + max(steps // 2, 1) * t_call
+                    + vae["t_vae_decode"] + rtt + stream_wire)
+    return {"fast_s": fast, "rcfg_self_s": rcfg_self,
+            "batched_cfg_s": batched_cfg, "parallel_cfg_s": parallel_cfg,
+            "stream_frame_s": stream_frame,
+            "stream_fps": 1.0 / stream_frame,
+            "vl_stage_s": vl_stage, "enc_stage_s": enc_stage,
+            "dec_stage_s": dec_stage}
+
+
+# ---------------------------------------------------------------------------
+# Modes
+# ---------------------------------------------------------------------------
+
+
+def validate() -> Dict[str, object]:
+    """Self-validation: project bench-2b from its own AOT graphs; every
+    stage must land inside the band measured on the real chip."""
+    mesh = _topology_mesh(1)
+    out: Dict[str, object] = {"preset": "bench-2b", "mode": "validate"}
+
+    checks = []
+
+    def band(name, value, key, slack=0.15):
+        lo, hi = MEASURED_2B[key]
+        ok = lo * (1 - slack) <= value <= hi * (1 + slack)
+        checks.append(ok)
+        print(f"{name}: {value * 1e3:.1f} ms "
+              f"[measured {lo * 1e3:.0f}-{hi * 1e3:.0f}] "
+              f"{'OK' if ok else '** OUT OF BAND **'}")
+        return ok
+
+    compiled, meta = compile_model_call("bench-2b", mesh)
+    pc = project_model_call(compiled, meta)
+    out["model_call"] = pc
+    print(f"model call @1024² (L={meta['L']}, flash_compiled="
+          f"{meta['use_flash']}): GEMM {pc['t_gemm'] * 1e3:.1f} "
+          f"({pc['f_gemm_dev'] / 1e12:.2f} TF @ 176 TF/s) + attn "
+          f"{pc['t_attn'] * 1e3:.1f} ms")
+    band("  → per-step device", pc["t_call"], "model_call_s")
+
+    vis, lm, vmeta = compile_vl("bench-2b", mesh)
+    pv = project_vl(vis, lm, vmeta, mesh)
+    out["vl"] = pv
+    print(f"VL encode device compute: vision {pv['t_vis'] * 1e3:.2f} + "
+          f"LM {pv['t_lm'] * 1e3:.2f} ms (0.18B encoder — the stage is "
+          "its dispatch RTTs, exactly as measured)")
+    vl_stage = pv["t_vl"] + 2 * RTT_TUNNEL_S + VL_IMG_UPLOAD_S
+    band("  → stage incl 2 RTT + upload", vl_stage, "vl_stage_s")
+
+    enc, dec = compile_vae("bench-2b", mesh)
+    f_dec = xla_flops(dec)
+    r_conv = f_dec / 0.0553  # scan-amortized device measurement
+    out["r_conv_calibrated"] = r_conv
+    pvae = project_vae(enc, dec)
+    out["vae"] = pvae
+    print(f"VAE conv-rate calibration: decode graph {f_dec / 1e12:.2f} "
+          f"TFLOP / 55.3 ms measured → {r_conv / 1e12:.1f} TF/s "
+          f"(R_CONV_DEFAULT {R_CONV_DEFAULT / 1e12:.0f})")
+    band("VAE encode device", pvae["t_vae_encode"], "vae_encode_dev_s")
+    band("VAE decode device", pvae["t_vae_decode"], "vae_decode_s")
+
+    e2e = compose_e2e(pc["t_call"], pv, pvae, attached=False)
+    out["e2e"] = e2e
+    lo, hi = MEASURED_2B["e2e_fast_s"]
+    ok = lo * 0.85 <= e2e["fast_s"] <= hi * 1.15
+    checks.append(ok)
+    out["e2e_within_band"] = bool(ok)
+    print(f"e2e fast 2-step (tunnel column): {e2e['fast_s']:.3f} s "
+          f"[measured {lo:.3f}-{hi:.3f}] → "
+          f"{'WITHIN BAND' if ok else 'OUT OF BAND'}")
+    out["all_checks_ok"] = bool(all(checks))
+    print(f"self-validation: {sum(checks)}/{len(checks)} stage checks "
+          f"within their measured bands")
+    return out
+
+
+# 20B rungs: (label, n_chips, note)
+RUNGS = (
+    ("v5e-8 bf16", 8, "flagship; parallel CFG on the cfg axis"),
+    ("v5e-4 int8", 4, "half pod; weight bytes halved, flops unchanged"),
+    ("v5e-2 int4", 2, "2-chip slice; no cfg axis (batched CFG only)"),
+)
+
+
+def project(json_path: Optional[str] = None) -> Dict[str, object]:
+    """The dossier: per-rung stage + request/frame projections for the
+    real 20B preset, from its own AOT graphs."""
+    out: Dict[str, object] = {"preset": "qwen-image-edit-2509",
+                              "mode": "project", "rungs": {}}
+    for label, n, note in RUNGS:
+        mesh = _topology_mesh(n)
+        print(f"— {label} ({dict(mesh.shape)}; {note})")
+        compiled, meta = compile_model_call("qwen-image-edit-2509", mesh)
+        pc = project_model_call(compiled, meta)
+        print(f"  model call: GEMM {pc['t_gemm'] * 1e3:.0f} + attn "
+              f"{pc['t_attn'] * 1e3:.0f} + ICI {pc['t_coll'] * 1e3:.1f} "
+              f"= {pc['t_call'] * 1e3:.0f} ms/step "
+              f"({pc['f_gemm_dev'] / 1e12:.1f} TF GEMM/dev, "
+              f"compile {meta['compile_s']:.0f}s)")
+        vis, lm, vmeta = compile_vl("qwen-image-edit-2509", mesh)
+        pv = project_vl(vis, lm, vmeta, mesh)
+        print(f"  VL encode: {pv['t_vl'] * 1e3:.0f} ms "
+              f"(vision {pv['t_vis'] * 1e3:.0f} + LM "
+              f"{pv['t_lm'] * 1e3:.0f})")
+        enc, dec = compile_vae("qwen-image-edit-2509", mesh)
+        pvae = project_vae(enc, dec)
+        print(f"  VAE: encode {pvae['t_vae_encode'] * 1e3:.0f} ms, "
+              f"decode {pvae['t_vae_decode'] * 1e3:.0f} ms")
+        e2e = compose_e2e(pc["t_call"], pv, pvae, attached=True)
+        vs = NORTH_STAR_S / e2e["fast_s"]
+        print(f"  → fast/rcfg-self {e2e['fast_s']:.2f} s/img, "
+              f"batched CFG {e2e['batched_cfg_s']:.2f}, parallel CFG "
+              f"{e2e['parallel_cfg_s']:.2f}, stream "
+              f"{e2e['stream_fps']:.2f} fps @1024² "
+              f"— {vs:.1f}× the 5.6 s north star (at 4× its pixels)")
+        out["rungs"][label] = {"model_call": pc, "vl": pv, "vae": pvae,
+                               "e2e": e2e, "chips": n,
+                               "vs_north_star": vs}
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=1, default=float)
+        print(f"wrote {json_path}")
+    return out
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--validate", action="store_true",
+                    help="self-project bench-2b against measured bands")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+    if args.validate:
+        res = validate()
+        return 0 if res.get("all_checks_ok") else 1
+    project(args.json)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
