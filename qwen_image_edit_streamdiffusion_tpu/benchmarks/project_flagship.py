@@ -105,6 +105,8 @@ MEASURED_2B = {
     "vl_stage_s": (0.053, 0.085),
     "vae_encode_dev_s": (0.025, 0.060),
     "vae_decode_s": (0.050, 0.062),
+    # tiny decoder: 17.0 ms scan-amortized device @1024² (XLA convs)
+    "tiny_decode_s": (0.014, 0.022),
     "e2e_fast_s": (0.625, 0.77),
 }
 
@@ -174,13 +176,17 @@ def collective_bytes(hlo_text: str) -> Dict[str, float]:
 
 
 def collective_time_s(hlo_text: str, ring_n: int,
-                      bw: float = ICI_RING_BW) -> float:
+                      bw: float = ICI_RING_BW,
+                      ops: Optional[tuple] = None) -> float:
     """Ring-algorithm time for the graph's collectives over an n-chip
     axis: all-reduce moves 2(n−1)/n · V per chip, all-gather/
-    reduce-scatter (n−1)/n · V, permute V."""
+    reduce-scatter (n−1)/n · V, permute V. ops restricts to a subset
+    (e.g. ("all-reduce",) for the activation-reduction slice)."""
     if ring_n <= 1:
         return 0.0
     c = collective_bytes(hlo_text)
+    if ops is not None:
+        c = {k: v for k, v in c.items() if k in ops}
     f_ar = 2 * (ring_n - 1) / ring_n
     f_ag = (ring_n - 1) / ring_n
     t = (c.get("all-reduce", 0.0) * f_ar
@@ -229,10 +235,12 @@ def _ambient_tpu() -> bool:
 
 
 def compile_model_call(preset_name: str, mesh, txt_len: int = 256,
-                       img_hw: int = 64, rows: int = 1):
+                       img_hw: int = 64, rows: int = 1, bits: int = 0):
     """AOT the bare sharded transformer call at the serving bucket
     (img_hw=64 ↔ 1024² latents → 64² patch grid per image; target +
-    one condition image). Returns (compiled, meta)."""
+    one condition image). bits=8/4 quantizes the block linears first —
+    the sub-8-chip rungs only FIT quantized (lower_full), and the AOT
+    compiler enforces HBM at compile time. Returns (compiled, meta)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -245,6 +253,13 @@ def compile_model_call(preset_name: str, mesh, txt_len: int = 256,
     cfg = preset.model
     use_flash = _ambient_tpu()
     shapes = jax.eval_shape(lambda: tfm.init(jax.random.PRNGKey(0), cfg))
+    if bits:
+        from qwen_image_edit_streamdiffusion_tpu.models.quantize import (
+            quantize_transformer,
+        )
+
+        shapes = jax.eval_shape(
+            lambda p: quantize_transformer(p, bits=bits), shapes)
     specs = sharding.transformer_param_specs(shapes)
     params_abs = jax.tree_util.tree_map(
         lambda s, p: jax.ShapeDtypeStruct(
@@ -295,9 +310,22 @@ def project_model_call(compiled, meta) -> Dict[str, float]:
     f_gemm = max(f_xla - f_attn_dev, 0.0)
     t_gemm = f_gemm / R_GEMM
     t_attn = f_attn_dev / flash_rate(L)
-    t_coll = collective_time_s(compiled.as_text(), tp)
-    return {"t_gemm": t_gemm, "t_attn": t_attn, "t_coll": t_coll,
-            "t_call": t_gemm + t_attn + t_coll,
+    # Collectives as a RANGE, not a point: XLA software-pipelines them
+    # against compute (it deliberately chose weight all-gathers — the
+    # collective-matmul strategy — whose prefetches overlap the previous
+    # layer's GEMMs; the async copy-start/done pairs in the HLO are that
+    # overlap machinery). Lower bound = fully hidden; mid = the
+    # activation all-reduces serial (the reduction on the critical path
+    # after each row-parallel GEMM is the hardest to hide); upper =
+    # every collective serialized (no overlap at all).
+    txt = compiled.as_text()
+    t_coll_hi = collective_time_s(txt, tp)
+    t_coll_ar = collective_time_s(txt, tp, ops=("all-reduce",))
+    t = t_gemm + t_attn
+    return {"t_gemm": t_gemm, "t_attn": t_attn,
+            "t_coll_ar": t_coll_ar, "t_coll_hi": t_coll_hi,
+            "t_call_lo": t, "t_call": t + t_coll_ar,
+            "t_call_hi": t + t_coll_hi,
             "f_gemm_dev": f_gemm, "f_attn_dev": f_attn_dev}
 
 
@@ -341,6 +369,41 @@ def compile_vae(preset_name: str, mesh, size: int = 1024):
             del os.environ["QIE_PALLAS_CONV"]
         else:
             os.environ["QIE_PALLAS_CONV"] = prior
+    return enc, dec
+
+
+def compile_tiny(preset_name: str, mesh, size: int = 1024):
+    """AOT the TAESD-analog tiny autoencoder pair at size² (XLA convs —
+    measured faster than the small-C Pallas kernel for the tiny chain,
+    CLAUDE.md). Returns (enc_compiled, dec_compiled)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qwen_image_edit_streamdiffusion_tpu.core.config import get_preset
+    from qwen_image_edit_streamdiffusion_tpu.models import tiny_vae as tv
+
+    preset = get_preset(preset_name)
+    vcfg = preset.vae
+    ecfg = tv.TinyEncoderConfig.from_vae(vcfg)
+    dcfg = tv.TinyDecoderConfig.from_vae(vcfg)
+    rep = NamedSharding(mesh, P())
+    as_rep = lambda tree: jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
+        tree)
+    e_abs = as_rep(jax.eval_shape(
+        lambda: tv.encoder_init(jax.random.PRNGKey(0), ecfg)))
+    d_abs = as_rep(jax.eval_shape(
+        lambda: tv.init(jax.random.PRNGKey(1), dcfg)))
+    dt = jnp.dtype(vcfg.dtype)
+    z = size // vcfg.spatial_downsample
+    enc = jax.jit(lambda p, x: tv.encode(p, ecfg, x)).lower(
+        e_abs, jax.ShapeDtypeStruct((1, size, size, 3), dt, sharding=rep),
+    ).compile()
+    dec = jax.jit(lambda p, x: tv.decode(p, dcfg, x)).lower(
+        d_abs, jax.ShapeDtypeStruct((1, z, z, vcfg.latent_channels), dt,
+                                    sharding=rep),
+    ).compile()
     return enc, dec
 
 
@@ -421,21 +484,21 @@ def project_vl(vis, lm, meta, mesh) -> Dict[str, float]:
     return {"t_vis": t_vis, "t_lm": t_lm, "t_vl": t_vis + t_lm}
 
 
-def project_vae(enc, dec, calib: Optional[Dict[str, float]] = None
+def project_vae(enc, dec, r_conv: Optional[float] = None
                 ) -> Dict[str, float]:
-    """Projected VAE stage seconds from a conv-rate roofline.
+    """Projected autoencoder stage seconds from a conv-rate roofline.
 
-    R_conv is calibrated from the measured bench-2b XLA-conv decode
-    (59.1 ms @1024²) against that graph's own flops — VAE convs underfill
-    the MXU (small channel counts at high resolution), so the realized
-    rate is well below R_gemm and must come from measurement, not peak.
-    calib: {"r_conv": flops/s} from the --validate run; default uses the
-    constant derived from the checked-in measurement."""
-    r_conv = (calib or {}).get("r_conv", R_CONV_DEFAULT)
+    Each conv family gets its MEASURED realized rate, the same
+    calibrate-on-bench-2b-transfer-to-20B pattern as the GEMM/flash
+    terms: full-VAE convs underfill the MXU at high resolution
+    (R_CONV_DEFAULT); the tiny chain's pure relu→conv→conv residuals
+    fuse better in XLA and run faster per flop (R_CONV_TINY — pass it
+    for tiny graphs)."""
+    r = r_conv or R_CONV_DEFAULT
     out = {}
     for name, c in (("t_vae_encode", enc), ("t_vae_decode", dec)):
         f, b = xla_flops(c), xla_bytes(c)
-        out[name] = max(f / r_conv, b / HBM_BW)
+        out[name] = max(f / r, b / HBM_BW)
         out[name + "_flops"] = f
     return out
 
@@ -445,6 +508,10 @@ def project_vae(enc, dec, calib: Optional[Dict[str, float]] = None
 # rate (10% of peak — small-C conv MXU underfill at high resolution;
 # --validate prints the calibration readback).
 R_CONV_DEFAULT = 20e12
+# The tiny chain's rate from its own measurement: tiny decode graph
+# flops / 17.0 ms scan-amortized @1024² (XLA convs — the shipping
+# config). --validate prints the readback.
+R_CONV_TINY = 31e12
 
 
 # ---------------------------------------------------------------------------
@@ -543,6 +610,15 @@ def validate() -> Dict[str, object]:
     band("VAE encode device", pvae["t_vae_encode"], "vae_encode_dev_s")
     band("VAE decode device", pvae["t_vae_decode"], "vae_decode_s")
 
+    tenc, tdec = compile_tiny("bench-2b", mesh)
+    ptiny = project_vae(tenc, tdec, r_conv=R_CONV_TINY)
+    out["tiny"] = ptiny
+    f_tdec = xla_flops(tdec)
+    print(f"tiny conv-rate calibration: decode graph {f_tdec / 1e12:.2f} "
+          f"TFLOP / 17.0 ms measured → {f_tdec / 0.017 / 1e12:.1f} TF/s "
+          f"(R_CONV_TINY {R_CONV_TINY / 1e12:.0f})")
+    band("tiny decode device", ptiny["t_vae_decode"], "tiny_decode_s")
+
     e2e = compose_e2e(pc["t_call"], pv, pvae, attached=False)
     out["e2e"] = e2e
     lo, hi = MEASURED_2B["e2e_fast_s"]
@@ -558,11 +634,13 @@ def validate() -> Dict[str, object]:
     return out
 
 
-# 20B rungs: (label, n_chips, note)
+# 20B rungs: (label, n_chips, bits, note) — bits match the DEPLOY.md
+# rung table (the sub-8-chip configs only fit quantized; the AOT
+# compiler itself rejects bf16 on them with RESOURCE_EXHAUSTED)
 RUNGS = (
-    ("v5e-8 bf16", 8, "flagship; parallel CFG on the cfg axis"),
-    ("v5e-4 int8", 4, "half pod; weight bytes halved, flops unchanged"),
-    ("v5e-2 int4", 2, "2-chip slice; no cfg axis (batched CFG only)"),
+    ("v5e-8 bf16", 8, 0, "flagship; parallel CFG on the cfg axis"),
+    ("v5e-4 int8", 4, 8, "half pod; weight bytes halved, flops unchanged"),
+    ("v5e-2 int4", 2, 4, "2-chip slice; no cfg axis (batched CFG only)"),
 )
 
 
@@ -571,14 +649,18 @@ def project(json_path: Optional[str] = None) -> Dict[str, object]:
     real 20B preset, from its own AOT graphs."""
     out: Dict[str, object] = {"preset": "qwen-image-edit-2509",
                               "mode": "project", "rungs": {}}
-    for label, n, note in RUNGS:
+    for label, n, bits, note in RUNGS:
         mesh = _topology_mesh(n)
         print(f"— {label} ({dict(mesh.shape)}; {note})")
-        compiled, meta = compile_model_call("qwen-image-edit-2509", mesh)
+        compiled, meta = compile_model_call("qwen-image-edit-2509", mesh,
+                                            bits=bits)
         pc = project_model_call(compiled, meta)
         print(f"  model call: GEMM {pc['t_gemm'] * 1e3:.0f} + attn "
-              f"{pc['t_attn'] * 1e3:.0f} + ICI {pc['t_coll'] * 1e3:.1f} "
-              f"= {pc['t_call'] * 1e3:.0f} ms/step "
+              f"{pc['t_attn'] * 1e3:.0f} + ICI all-reduce "
+              f"{pc['t_coll_ar'] * 1e3:.0f} (serial-everything bound "
+              f"{pc['t_coll_hi'] * 1e3:.0f}) = {pc['t_call'] * 1e3:.0f} "
+              f"ms/step [{pc['t_call_lo'] * 1e3:.0f}-"
+              f"{pc['t_call_hi'] * 1e3:.0f}] "
               f"({pc['f_gemm_dev'] / 1e12:.1f} TF GEMM/dev, "
               f"compile {meta['compile_s']:.0f}s)")
         vis, lm, vmeta = compile_vl("qwen-image-edit-2509", mesh)
@@ -590,16 +672,34 @@ def project(json_path: Optional[str] = None) -> Dict[str, object]:
         pvae = project_vae(enc, dec)
         print(f"  VAE: encode {pvae['t_vae_encode'] * 1e3:.0f} ms, "
               f"decode {pvae['t_vae_decode'] * 1e3:.0f} ms")
+        tenc, tdec = compile_tiny("qwen-image-edit-2509", mesh)
+        ptiny = project_vae(tenc, tdec, r_conv=R_CONV_TINY)
+        print(f"  tiny pair: encode {ptiny['t_vae_encode'] * 1e3:.0f} ms, "
+              f"decode {ptiny['t_vae_decode'] * 1e3:.0f} ms")
         e2e = compose_e2e(pc["t_call"], pv, pvae, attached=True)
+        e2e["fast_lo_s"] = compose_e2e(pc["t_call_lo"], pv, pvae,
+                                       attached=True)["fast_s"]
+        e2e["fast_hi_s"] = compose_e2e(pc["t_call_hi"], pv, pvae,
+                                       attached=True)["fast_s"]
+        e2e_tiny = compose_e2e(pc["t_call"], pv, {
+            "t_vae_encode": ptiny["t_vae_encode"],
+            "t_vae_decode": ptiny["t_vae_decode"]}, attached=True)
+        e2e["stream_tiny_fps"] = e2e_tiny["stream_fps"]
         vs = NORTH_STAR_S / e2e["fast_s"]
-        print(f"  → fast/rcfg-self {e2e['fast_s']:.2f} s/img, "
+        vs_worst = NORTH_STAR_S / e2e["fast_hi_s"]
+        print(f"  → fast/rcfg-self {e2e['fast_s']:.2f} s/img "
+              f"[{e2e['fast_lo_s']:.2f}-{e2e['fast_hi_s']:.2f}], "
               f"batched CFG {e2e['batched_cfg_s']:.2f}, parallel CFG "
               f"{e2e['parallel_cfg_s']:.2f}, stream "
-              f"{e2e['stream_fps']:.2f} fps @1024² "
-              f"— {vs:.1f}× the 5.6 s north star (at 4× its pixels)")
+              f"{e2e['stream_fps']:.2f} fps (tiny pair "
+              f"{e2e['stream_tiny_fps']:.2f}) @1024² "
+              f"— {vs:.1f}× the 5.6 s north star "
+              f"({vs_worst:.1f}× at the serial-collective bound, "
+              "at 4× its pixels)")
         out["rungs"][label] = {"model_call": pc, "vl": pv, "vae": pvae,
-                               "e2e": e2e, "chips": n,
-                               "vs_north_star": vs}
+                               "tiny": ptiny, "e2e": e2e, "chips": n,
+                               "vs_north_star": vs,
+                               "vs_north_star_worst": vs_worst}
     if json_path:
         with open(json_path, "w") as f:
             json.dump(out, f, indent=1, default=float)
