@@ -719,9 +719,11 @@ def _composed_ledger(rt, size, prompt, neg, lever_seq, lever_fps):
     print(f"    host (unpack+PIL+prep)    {t_host * 1e3:7.1f} ms")
     print(f"    = sequential frame        {t_frame * 1e3:7.1f} ms "
           f"(loop measured {1e3 / max(lever_seq, 1e-9):.1f})")
-    print(f"    pipelined bound max(dev, wire+host) "
+    print(f"    pipelined est. max(dev, wire+host) "
           f"{max(t_dev, t_wire + t_host) * 1e3:7.1f} ms "
-          f"(loop measured {1e3 / max(lever_fps, 1e-9):.1f})")
+          f"(loop measured {1e3 / max(lever_fps, 1e-9):.1f}; the "
+          "measured loop can beat this — lag-1 also hides the input "
+          "upload + RTT inside the dev slice)")
     att = max(t_dev - 0.029, t_host)  # attached host: RTT ~0, wire ~0
     print(f"    → directly-attached-host ceiling ≈ "
           f"{1.0 / max(att, 1e-9):.1f} fps (RTT+wire removed; device "
